@@ -1,0 +1,46 @@
+"""Named amino-acid replacement matrix registry.
+
+``MATRICES`` maps model name -> (rates[190], freqs[20]) with amino acids in
+the PAML / libpll order ARNDCQEGHILKMFPSTWYV and rates covering the upper
+triangle row-major (AR, AN, AD, ..., WY).
+
+The registry starts empty: the classic tables (LG, WAG, JTT, ...) are large
+numeric constants that we refuse to reproduce from memory without a
+verifiable source (this environment has no network access and no copy of the
+published tables). Protein placement is fully supported through:
+
+- ``PROTGTR{...190 rates...}+FU{...20 freqs...}`` descriptor strings, and
+- model files from RAxML8 ``-f e`` / raxml-ng / IQ-TREE runs, which embed the
+  estimated rates and frequencies (see epa_ng_tpu.io.model_files).
+
+Drop a ``<NAME>.npz`` file with arrays ``rates`` and ``freqs`` into the
+directory pointed at by ``EPA_NG_TPU_AA_DATA`` to register additional named
+matrices at import time.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+MATRICES: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _load_external():
+    path = os.environ.get("EPA_NG_TPU_AA_DATA")
+    if not path or not os.path.isdir(path):
+        return
+    for fname in os.listdir(path):
+        if not fname.endswith(".npz"):
+            continue
+        name = fname[:-4].upper()
+        data = np.load(os.path.join(path, fname))
+        rates = np.asarray(data["rates"], dtype=np.float64)
+        freqs = np.asarray(data["freqs"], dtype=np.float64)
+        if rates.shape != (190,) or freqs.shape != (20,):
+            raise ValueError(f"{fname}: expected rates[190] and freqs[20]")
+        MATRICES[name] = (rates, freqs / freqs.sum())
+
+
+_load_external()

@@ -1,0 +1,58 @@
+"""Runtime options for a placement run.
+
+Field names and defaults mirror the reference implementation's single runtime
+config struct (reference: src/util/Options.hpp:6-35) so behavior-parity tests
+can sweep the same combinations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class NumericalScaling(enum.Enum):
+    ON = "on"
+    OFF = "off"
+    AUTO = "auto"
+
+
+@dataclasses.dataclass
+class Options:
+    # heuristic / preplacement
+    prescoring: bool = True
+    prescoring_by_percentage: bool = False
+    prescoring_threshold: float = 0.99999
+    baseball: bool = False
+
+    # model / branch optimization
+    opt_model: bool = False
+    opt_branches: bool = False
+    sliding_blo: bool = True
+
+    # output filtering (reference: src/util/Options.hpp:17-20)
+    support_threshold: float = 0.01
+    acc_threshold: bool = False
+    filter_min: int = 1
+    filter_max: int = 7
+
+    # io / streaming
+    chunk_size: int = 5000
+    premasking: bool = True
+    ranged: bool = False
+    dump_binary_mode: bool = False
+    load_binary_mode: bool = False
+    tmp_dir: str = ""
+    precision: int = 10
+
+    # compute
+    num_threads: int = 0  # kept for CLI parity; TPU path ignores it
+    repeats: bool = False  # site-repeats has no TPU analog; accepted + ignored
+    scaling: NumericalScaling = NumericalScaling.AUTO
+    preserve_rooting: bool = True
+
+    # TPU-specific extensions (no reference analog)
+    compute_dtype: str = "f64"  # "f32" | "f64"; bench/TPU runs use f32
+    max_blo_iters: int = 32  # outer smoothings (reference: optimize.cpp:269)
+    max_newton_iters: int = 30  # inner NR iterations (reference: optimize.cpp:62)
+    blo_block: int = 4096  # padded batch size for vmapped Newton BLO

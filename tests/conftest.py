@@ -1,0 +1,27 @@
+"""Test configuration: force CPU with 8 virtual devices and f64.
+
+Multi-chip sharding is validated on a virtual 8-device CPU mesh; numerical
+parity tests run in float64 (matching the reference's double-precision
+libpll kernels).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REF_DATA = "/root/reference/test/data"
+
+
+@pytest.fixture(scope="session")
+def data_dir():
+    return REF_DATA

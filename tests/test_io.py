@@ -1,0 +1,118 @@
+"""Sequence IO tests: FASTA/phylip readers, MSA info, bfast round-trips.
+
+The bfast format is byte-compatible with the reference's Binary_Fasta
+(src/io/Binary_Fasta.hpp); test/data/query.fasta.bin is a file written by the
+reference implementation and must decode to exactly query.fasta's contents.
+"""
+
+import numpy as np
+
+from epa_ng_tpu.io import bfast
+from epa_ng_tpu.io import fasta as fio
+
+D = "/root/reference/test/data"
+
+
+def test_fasta_reader():
+    msa = fio.build_msa_from_file(f"{D}/aln.fasta",
+                                  fio.make_msa_info(f"{D}/aln.fasta"),
+                                  premask=False)
+    assert len(msa) == 8
+    assert [s.header for s in msa] == list("ABCDEFGH")
+    assert msa.num_sites == 705
+    assert set(msa[0].sequence) <= set("ACGTN-")
+
+
+def test_phylip_reader():
+    msa = fio.build_msa_from_file(f"{D}/aln.phy",
+                                  fio.make_msa_info(f"{D}/aln.phy"),
+                                  premask=False)
+    assert len(msa) == 10  # combined ref + query alignment
+    assert msa.num_sites == 705
+
+
+def test_msa_info_or_mask():
+    ref = fio.make_msa_info(f"{D}/aln.fasta")
+    qry = fio.make_msa_info(f"{D}/query.fasta")
+    assert ref.sites == qry.sites
+    combined = fio.MSAInfo.or_mask(ref, qry)
+    assert combined.dtype == bool
+    assert (ref.gap_mask == qry.gap_mask).all()
+
+
+def test_reference_bfast_file_decodes():
+    """query.fasta.bin was produced by the reference binary."""
+    if not bfast.is_bfast(f"{D}/query.fasta.bin"):
+        import pytest
+        pytest.skip("reference bfast file missing")
+    got = bfast.load(f"{D}/query.fasta.bin", premask=False)
+    want = fio.build_msa_from_file(f"{D}/query.fasta",
+                                   fio.make_msa_info(f"{D}/query.fasta"),
+                                   premask=False)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.header == w.header
+        assert g.sequence == w.sequence.upper()
+
+
+def test_bfast_roundtrip(tmp_path):
+    out = bfast.fasta_to_bfast(f"{D}/query.fasta", str(tmp_path))
+    assert bfast.is_bfast(out)
+    info = bfast.get_info(out)
+    finfo = fio.make_msa_info(f"{D}/query.fasta")
+    assert info.sequences == finfo.sequences
+    assert info.sites == finfo.sites
+    got = bfast.load(out)
+    want = fio.build_msa_from_file(f"{D}/query.fasta", finfo, premask=False)
+    for g, w in zip(got, want):
+        assert g.header == w.header
+        assert g.sequence == w.sequence
+
+
+def test_bfast_reader_chunks_match_stream(tmp_path):
+    out = bfast.fasta_to_bfast(f"{D}/aln.fasta", str(tmp_path))
+    info = bfast.get_info(out)
+    r = fio.make_msa_reader(out, info, premask=False, split=False)
+    assert isinstance(r, bfast.BfastReader)
+    chunk1 = r.read_next(3)
+    chunk2 = r.read_next(100)
+    assert len(chunk1) == 3
+    assert len(chunk2) == 5
+    assert chunk1[0].header == "A"
+    assert chunk2[0].header == "D"
+
+
+def test_stream_sharding():
+    info = fio.make_msa_info(f"{D}/aln.fasta")
+    headers = []
+    for rank in range(3):
+        r = fio.MSAStream(f"{D}/aln.fasta", info, premask=False, split=True,
+                          process_index=rank, process_count=3)
+        chunk = r.read_next(100)
+        headers.extend(s.header for s in chunk)
+    assert headers == list("ABCDEFGH")
+
+
+def test_fourbit_padding():
+    for seq in ("ACG", "ACGT", "A", "ACGTN-RY"):
+        assert bfast.unpack_fourbit(bfast.pack_fourbit(seq), len(seq)) == seq
+
+
+def test_collapse_equal_sequences():
+    msa = fio.MSA()
+    msa.append("a", "ACGT")
+    msa.append("b", "ACGG")
+    msa.append("c", "ACGT")
+    out = fio.find_collapse_equal_sequences(msa)
+    assert len(out) == 2
+    assert out[0].headers == ["a", "c"]
+
+
+def test_valid_range():
+    from epa_ng_tpu.utils.ranges import get_valid_range
+    begin, span = get_valid_range("---ATAGCT--")
+    assert (begin, span) == (3, 6)
+    begin, span = get_valid_range("ATAGCT")
+    assert (begin, span) == (0, 6)
+    begin, span = get_valid_range("----")
+    assert span == 0
