@@ -1,0 +1,292 @@
+"""The placement engine: preplace -> heuristic -> thorough place -> LWR ->
+filter, per streamed query chunk.
+
+TPU-native redesign of the reference's ``simple_mpi`` loop
+(src/core/place.cpp:173-251): the two OpenMP hot loops become
+
+1. one [queries x edges] MXU contraction against the precomputed lookup
+   tensor (preplacement), and
+2. one vmapped Newton batch over the compacted candidate pairs (thorough
+   placement),
+
+with the ragged candidate sets bucketed into fixed-size blocks to keep XLA
+shapes static.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from epa_ng_tpu.core import heuristics
+from epa_ng_tpu.core.lwr import PQuery, compute_and_set_lwr, filter_pqueries
+from epa_ng_tpu.io.fasta import MSA
+from epa_ng_tpu.models import Model
+from epa_ng_tpu.models.charmaps import (encode_lookup_cols, encode_states,
+                                        lookup_chars, lookup_tip_clvs)
+from epa_ng_tpu.ops import clv as clv_ops
+from epa_ng_tpu.ops import eigen, lookup, newton
+from epa_ng_tpu.tree.tree import Tree
+from epa_ng_tpu.utils.options import Options
+from epa_ng_tpu.utils.ranges import get_valid_range
+
+log = logging.getLogger("epa_ng_tpu")
+
+
+@dataclass
+class ChunkResult:
+    pqueries: list  # list[PQuery]
+    num_sequences: int
+
+
+class PlacementEngine:
+    """Holds the reference tree state (edge CLV tensors, lookup tables) and
+    places query chunks against it."""
+
+    def __init__(self, tree: Tree, ref_msa: MSA, model: Model,
+                 options: Optional[Options] = None):
+        self.options = options or Options()
+        self.tree = tree
+        self.model = model
+        self.dtype = (jnp.float64 if self.options.compute_dtype == "f64"
+                      else jnp.float32)
+
+        if model.empirical_base_freqs:
+            masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
+            model.base_freqs = empirical_frequencies(masks, model.num_states)
+            log.info("Using empirical base frequencies: %s", model.base_freqs)
+
+        self.eig = eigen.decompose(model)
+        self.consts = newton.eig_consts(self.eig, self.dtype)
+
+        tip_clvs = clv_ops.tip_clv_matrix(tree, ref_msa, model.num_states)
+        self.edges = clv_ops.build_edge_tensors(tree, self.eig, tip_clvs,
+                                                dtype=self.dtype)
+        self.num_sites = ref_msa.num_sites
+        self.num_edges = tree.n_edges
+
+        # invariant-site machinery (only materialized when pinv > 0)
+        self._ref_intersection = None
+        if model.pinv > 0:
+            masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
+            inter = masks[0].copy()
+            for row in masks[1:]:
+                inter &= row
+            self._ref_intersection = inter  # [S] uint32
+
+        # sanity check: finite reference-tree log-likelihood
+        # (reference: src/tree/Tree.cpp:49-53)
+        self.ref_tree_logl = float(self._reference_logl())
+        if not np.isfinite(self.ref_tree_logl):
+            raise RuntimeError("Tree Log-Likelihood -INF!")
+        log.info("Reference tree log-likelihood: %.6f", self.ref_tree_logl)
+
+        self._lookup_table = None
+        self._char_clvs = jnp.asarray(
+            lookup_tip_clvs(model.num_states), self.dtype)
+        self._lookup_cols = lookup_chars(model.num_states)
+
+    # ------------------------------------------------------------------
+
+    def _reference_logl(self) -> float:
+        from epa_ng_tpu.ops import likelihood
+        P = eigen.pmatrices(self.eig, self.tree.edge_lengths[:1],
+                            dtype=self.dtype)
+        inv = self._inv_logterm_sites()
+        et = self.edges
+        return likelihood.edge_loglikelihood(
+            et.U[0], et.lsU[0], et.V[0], et.lsV[0], P[0],
+            jnp.asarray(self.eig.freqs, self.dtype),
+            jnp.asarray(self.eig.weights, self.dtype),
+            pinv=self.model.pinv, inv_logterm=inv)
+
+    def _inv_logterm_sites(self):
+        """[S] log(p*pi) for ref-tree invariant sites, or None."""
+        if self._ref_intersection is None:
+            return None
+        from epa_ng_tpu.ops import likelihood
+        state = clv_ops.invariant_states(
+            self._ref_intersection[None, :], self.model.num_states)
+        return likelihood.make_inv_logterm(state, self.eig.freqs,
+                                           self.model.pinv, self.dtype)
+
+    def _inv_logfreq_chars(self):
+        """[S, C] invariant log-term per (site, placed char); the invariant
+        intersection of the extended tree includes the new query tip."""
+        S = self.num_sites
+        C = len(self._lookup_cols)
+        if self._ref_intersection is None:
+            return jnp.full((S, C), -np.inf, self.dtype)
+        from epa_ng_tpu.models.charmaps import state_mask_table
+        tbl = state_mask_table(self.model.num_states)
+        char_masks = np.array([tbl[ord(ch)] for ch in self._lookup_cols],
+                              dtype=np.uint32)
+        inter = self._ref_intersection[:, None] & char_masks[None, :]
+        state = clv_ops.invariant_states(
+            inter.reshape(1, -1), self.model.num_states).reshape(S, C)
+        out = np.full((S, C), -np.inf)
+        ok = state >= 0
+        out[ok] = np.log(self.model.pinv * self.eig.freqs[state[ok]])
+        return jnp.asarray(out, self.dtype)
+
+    def _inv_logfreq_queries(self, qmasks: np.ndarray):
+        """[Q, S] invariant log-term per (query, site) for the BLO path."""
+        Q, S = qmasks.shape
+        if self._ref_intersection is None:
+            return np.full((Q, S), -np.inf)
+        inter = self._ref_intersection[None, :] & qmasks
+        state = clv_ops.invariant_states(
+            inter.reshape(1, -1), self.model.num_states).reshape(Q, S)
+        out = np.full((Q, S), -np.inf)
+        ok = state >= 0
+        out[ok] = np.log(self.model.pinv * self.eig.freqs[state[ok]])
+        return out
+
+    @property
+    def lookup_table(self):
+        """[E, S, C] preplacement table, built on first use (the analog of
+        Lookup_Store's lazy per-branch init, built in one shot)."""
+        if self._lookup_table is None:
+            et = self.edges
+            self._lookup_table = lookup.build_lookup_tables(
+                self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths,
+                self._char_clvs, self._inv_logfreq_chars())
+        return self._lookup_table
+
+    # ------------------------------------------------------------------
+
+    def _encode_chunk(self, chunk: MSA):
+        Q = len(chunk)
+        S = self.num_sites
+        codes = np.zeros((Q, S), dtype=np.int32)
+        qmasks = np.zeros((Q, S), dtype=np.uint32)
+        ranges = np.zeros((Q, 2), dtype=np.int32)
+        for i, s in enumerate(chunk):
+            if len(s.sequence) != S:
+                raise ValueError(
+                    "Query sequence length not same as reference alignment!")
+            codes[i] = encode_lookup_cols(s.sequence, self.model.num_states)
+            qmasks[i] = encode_states(s.sequence, self.model.num_states)
+            if self.options.premasking:
+                begin, span = get_valid_range(s.sequence)
+                if span == 0:
+                    raise ValueError(
+                        f"Sequence with header '{s.header}' does not appear "
+                        "to have any non-gap sites!")
+            else:
+                begin, span = 0, S
+            ranges[i] = (begin, span)
+        return codes, qmasks, ranges
+
+    def preplace(self, codes, ranges) -> np.ndarray:
+        """[Q, E] preplacement scores."""
+        scores = lookup.preplace_scores(
+            self.lookup_table, jnp.asarray(codes),
+            jnp.asarray(ranges[:, 0]), jnp.asarray(ranges[:, 1]))
+        return np.asarray(scores)
+
+    def place_chunk(self, chunk: MSA, seq_id_offset: int = 0) -> list:
+        """Full placement of one chunk; returns filtered PQuery list."""
+        opts = self.options
+        codes, qmasks, ranges = self._encode_chunk(chunk)
+        Q = len(chunk)
+
+        if opts.prescoring:
+            scores = self.preplace(codes, ranges)
+            pair_e, pair_q = heuristics.select_work(scores, opts)
+        else:
+            pair_e, pair_q = heuristics.all_work(Q, self.num_edges)
+
+        logl, pendant, distal = self._thorough(pair_e, pair_q, qmasks, ranges)
+
+        # assemble per-query placement lists
+        pqueries = []
+        by_query: dict[int, list[int]] = {}
+        for i, q in enumerate(pair_q):
+            by_query.setdefault(int(q), []).append(i)
+        for q in sorted(by_query):
+            idx = np.asarray(by_query[q])
+            pqueries.append(PQuery(
+                seq_id=seq_id_offset + q,
+                headers=list(chunk[q].headers),
+                edge_nums=pair_e[idx].astype(np.int64),
+                logls=logl[idx],
+                pendant_lengths=pendant[idx],
+                distal_lengths=distal[idx]))
+
+        compute_and_set_lwr(pqueries)
+        filter_pqueries(pqueries, opts)
+        return pqueries
+
+    def _thorough(self, pair_e, pair_q, qmasks, ranges):
+        """Blocked vmapped Newton BLO over the pair list."""
+        opts = self.options
+        S = self.num_sites
+        P = len(pair_e)
+        block = opts.blo_block
+
+        # query tip CLVs for this chunk
+        nbits = self.model.num_states
+        bits = (qmasks[:, :, None] >> np.arange(nbits)[None, None, :]) & 1
+        qclv_all = jnp.asarray(bits, self.dtype)          # [Q,S,K]
+        site = np.arange(S)
+        smask_all = ((site[None, :] >= ranges[:, :1])
+                     & (site[None, :] < (ranges[:, :1] + ranges[:, 1:2])))
+        smask_all = jnp.asarray(smask_all, self.dtype)    # [Q,S]
+        invq = jnp.asarray(self._inv_logfreq_queries(qmasks), self.dtype)
+
+        et = self.edges
+        out_logl = np.zeros(P)
+        out_pendant = np.zeros(P)
+        out_distal = np.zeros(P)
+
+        for start in range(0, P, block):
+            end = min(start + block, P)
+            n = end - start
+            e_ids = np.zeros(block, dtype=np.int32)
+            q_ids = np.zeros(block, dtype=np.int32)
+            e_ids[:n] = pair_e[start:end]
+            q_ids[:n] = pair_q[start:end]
+            if n < block:  # pad with the last real pair
+                e_ids[n:] = e_ids[n - 1]
+                q_ids[n:] = q_ids[n - 1]
+            e_j = jnp.asarray(e_ids)
+            q_j = jnp.asarray(q_ids)
+            res = newton.blo_optimize_batch(
+                self.consts,
+                et.U[e_j], et.lsU[e_j], et.V[e_j], et.lsV[e_j],
+                qclv_all[q_j], smask_all[q_j], et.lengths[e_j], invq[q_j],
+                sliding=opts.sliding_blo)
+            logl, pendant, distal_rep, _, _ = res
+            out_logl[start:end] = np.asarray(logl)[:n]
+            out_pendant[start:end] = np.asarray(pendant)[:n]
+            out_distal[start:end] = np.asarray(distal_rep)[:n]
+
+        if not np.isfinite(out_logl).all():
+            bad = int(np.nonzero(~np.isfinite(out_logl))[0][0])
+            raise RuntimeError(
+                f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
+        return out_logl, out_pendant, out_distal
+
+
+def empirical_frequencies(tip_masks: np.ndarray, num_states: int) -> np.ndarray:
+    """Empirical base frequencies from the reference alignment, counting
+    ambiguous characters fractionally across their states (the
+    pllmod_msa_empirical_frequencies convention)."""
+    counts = np.zeros(num_states)
+    for s in range(num_states):
+        bit = (tip_masks >> s) & 1
+        popc = np.zeros_like(tip_masks)
+        tmp = tip_masks.copy()
+        while tmp.any():
+            popc += tmp & 1
+            tmp >>= 1
+        full = (1 << num_states) - 1
+        nongap = tip_masks != full
+        # fractional: each char contributes 1/|states| to each member state
+        counts[s] = (bit[nongap] / popc[nongap]).sum()
+    return counts / counts.sum()

@@ -1,0 +1,103 @@
+"""jplace v3 output writer.
+
+Text layout mirrors the reference byte-for-byte (src/io/jplace_util.cpp,
+src/io/jplace_writer.hpp): fixed-point numbers at a configurable precision
+(default 10), incremental per-chunk writes, rooted-tree edge renumbering via
+the RtreeMapper, fields [edge_num, likelihood, like_weight_ratio,
+distal_length, pendant_length].
+
+Under multi-host execution each host writes its own shard through this same
+writer; shards are concatenated by parallel.dist.merge_jplace_shards
+(replacing the reference's MPI-IO collective shared-file writes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from epa_ng_tpu.core.lwr import PQuery
+from epa_ng_tpu.tree.tree import RtreeMapper
+
+
+class JplaceWriter:
+    def __init__(self, outdir: str, file_name: str, tree_string: str,
+                 invocation: str, mapper: Optional[RtreeMapper] = None,
+                 precision: int = 10, first: bool = True):
+        self.path = os.path.join(outdir, file_name)
+        self._f = open(self.path, "w")
+        self._tree = tree_string
+        self._invocation = invocation
+        self._mapper = mapper
+        self._precision = precision
+        self._first = first
+        self._leading = first  # write the header block
+
+    def _fmt(self, v: float) -> str:
+        return f"{v:.{self._precision}f}"
+
+    def _placement_str(self, edge: int, logl: float, lwr: float,
+                       distal: float, pendant: float) -> str:
+        if self._mapper:
+            edge, distal = self._mapper.in_rtree(int(edge), float(distal))
+        return (f"[{int(edge)}, {self._fmt(logl)}, {self._fmt(lwr)}, "
+                f"{self._fmt(distal)}, {self._fmt(pendant)}]")
+
+    def write(self, pqueries: list[PQuery]):
+        out = []
+        if self._first:
+            out.append("{\n")
+            out.append(f'  "tree": "{self._tree}",\n')
+            out.append('  "placements": \n')
+            out.append("  [\n")
+            self._first = False
+        else:
+            out.append(",\n")
+        for qi, pq in enumerate(pqueries):
+            out.append('    {"p": [\n')
+            n = len(pq.edge_nums)
+            for i in range(n):
+                out.append("      ")
+                out.append(self._placement_str(
+                    pq.edge_nums[i], pq.logls[i], pq.lwrs[i],
+                    pq.distal_lengths[i], pq.pendant_lengths[i]))
+                if i + 1 < n:
+                    out.append(",")
+                out.append("\n")
+            out.append("      ],\n")
+            out.append('    "n": [')
+            out.append(f'"{pq.headers[0]}"')
+            out.append("]\n")
+            out.append("    }")
+            if qi + 1 < len(pqueries):
+                out.append(",")
+            out.append("\n")
+        # trailing newline between chunks is handled by the leading ",\n"
+        text = "".join(out)
+        if text.endswith("\n"):
+            text = text[:-1]
+        self._f.write(text)
+
+    def close(self):
+        if self._f is None:
+            return
+        if self._first:
+            # no placements were written at all: still emit a valid document
+            self._f.write("{\n")
+            self._f.write(f'  "tree": "{self._tree}",\n')
+            self._f.write('  "placements": \n  [\n')
+        self._f.write("\n  ],\n")
+        self._f.write(f'  "metadata": {{"invocation": "{self._invocation}"}},\n')
+        self._f.write('  "version": 3,\n')
+        self._f.write('  "fields": ["edge_num", "likelihood", '
+                      '"like_weight_ratio", "distal_length"'
+                      ', "pendant_length"]\n')
+        self._f.write("}\n")
+        self._f.close()
+        self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

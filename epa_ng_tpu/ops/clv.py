@@ -1,0 +1,211 @@
+"""Conditional likelihood vectors (CLVs) for every edge of the reference tree.
+
+Replaces libpll's partial-traversal machinery (reference:
+src/core/pll/epa_pll_util.cpp:62-107 ``precompute_clvs`` +
+src/core/pll/pll_util.cpp:80-103 per-direction CLV indices) with a two-pass
+formulation:
+
+- **up pass** (postorder): D[n -> parent] for every non-root node,
+- **down pass** (preorder): D[parent -> n] for every node,
+
+where D[a -> b] is the conditional likelihood at ``a`` of everything behind
+``a`` seen from ``b``. Both passes are a single ``lax.scan`` over a static
+operations list; each op contracts two child CLVs with their edge transition
+matrices. Numerical underflow is handled by per-site renormalization with a
+log-scale accumulator (replacing libpll scaler buffers).
+
+Every edge then has its two directional CLVs as gathers from the buffer:
+``U[e] = D[parent(e) -> child(e)]`` (rest-of-tree) and
+``V[e] = D[child(e) -> parent(e)]`` (subtree below the edge).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epa_ng_tpu.models.charmaps import encode_states, mask_to_clv_rows
+from epa_ng_tpu.ops.eigen import EigenModel, pmatrices
+from epa_ng_tpu.tree.tree import Tree
+
+
+@dataclass
+class TreeOps:
+    """Static CLV schedule + edge -> directed-CLV index maps."""
+    n_tips: int
+    n_clvs: int
+    ops: np.ndarray      # [n_ops, 5] int32: out, in1, edge1, in2, edge2
+    u_idx: np.ndarray    # [E] proximal-direction CLV index per edge
+    v_idx: np.ndarray    # [E] distal-direction CLV index per edge
+
+
+def build_tree_ops(tree: Tree) -> TreeOps:
+    T = tree.n_tips
+    vroot = tree.vroot
+
+    def didx(n: int, toward: int) -> int:
+        """Directed CLV index for D[n -> toward]."""
+        if n < T:
+            return n  # tips have a single (up) CLV
+        neighbors = ([] if n == vroot else [int(tree.node_parent[n])])
+        neighbors += tree.node_children[n]
+        d = neighbors.index(toward)
+        return T + 3 * (n - T) + d
+
+    up_ops = []
+
+    def up(n: int):
+        for c in tree.node_children[n]:
+            up(c)
+        if n == vroot or n < T:
+            return
+        c0, c1 = tree.node_children[n]
+        up_ops.append((didx(n, int(tree.node_parent[n])),
+                       didx(c0, n), int(tree.node_edge[c0]),
+                       didx(c1, n), int(tree.node_edge[c1])))
+
+    for c in tree.node_children[vroot]:
+        up(c)
+
+    down_ops = []
+
+    def down(n: int):
+        # D[n -> x] for each child x of n
+        if n == vroot:
+            neighbors = list(tree.node_children[n])
+        else:
+            neighbors = [int(tree.node_parent[n])] + tree.node_children[n]
+        for x in tree.node_children[n]:
+            ins = []
+            for y in neighbors:
+                if y == x:
+                    continue
+                if y == tree.node_parent[n] and n != vroot:
+                    ins.append((didx(y, n), int(tree.node_edge[n])))
+                else:
+                    ins.append((didx(y, n), int(tree.node_edge[y])))
+            (i1, e1), (i2, e2) = ins
+            down_ops.append((didx(n, x), i1, e1, i2, e2))
+        for x in tree.node_children[n]:
+            down(x)
+
+    down(vroot)
+
+    ops = np.asarray(up_ops + down_ops, dtype=np.int32)
+
+    E = tree.n_edges
+    u_idx = np.zeros(E, dtype=np.int32)
+    v_idx = np.zeros(E, dtype=np.int32)
+    for e in range(E):
+        c = int(tree.edge_child[e])
+        p = int(tree.edge_parent[e])
+        v_idx[e] = didx(c, p)
+        u_idx[e] = didx(p, c)
+
+    n_clvs = T + 3 * tree.n_inner
+    return TreeOps(n_tips=T, n_clvs=n_clvs, ops=ops, u_idx=u_idx, v_idx=v_idx)
+
+
+def tip_clv_matrix(tree: Tree, msa, num_states: int) -> np.ndarray:
+    """[tips, sites, states] multi-hot tip CLVs, linking MSA rows to tree tips
+    by label (reference: src/core/pll/epa_pll_util.cpp:10-60)."""
+    by_label = {}
+    for s in msa:
+        by_label[s.header] = s.sequence
+    sites = msa.num_sites
+    out = np.zeros((tree.n_tips, sites, num_states), dtype=np.float64)
+    missing = []
+    for t, label in enumerate(tree.labels):
+        seq = by_label.get(label)
+        if seq is None:
+            missing.append(label)
+            continue
+        out[t] = mask_to_clv_rows(encode_states(seq, num_states), num_states)
+    if missing:
+        raise ValueError(
+            "The reference Tree contained taxa that could not be found in "
+            f"the reference MSA: {', '.join(missing)}")
+    return out
+
+
+def tip_state_masks(tree: Tree, msa, num_states: int) -> np.ndarray:
+    """[tips, sites] uint32 per-site state bitmask per tip (for invariant
+    site detection)."""
+    by_label = {s.header: s.sequence for s in msa}
+    sites = msa.num_sites
+    out = np.zeros((tree.n_tips, sites), dtype=np.uint32)
+    for t, label in enumerate(tree.labels):
+        out[t] = encode_states(by_label[label], num_states)
+    return out
+
+
+def invariant_states(masks: np.ndarray, num_states: int) -> np.ndarray:
+    """Per-site invariant state index, -1 where not invariant: a site is
+    invariant iff the intersection of all tip state sets is a single state
+    (libpll ``pll_update_invariant_sites`` semantics)."""
+    inter = masks[0].copy()
+    for row in masks[1:]:
+        inter &= row
+    popcount = np.zeros_like(inter)
+    tmp = inter.copy()
+    while tmp.any():
+        popcount += tmp & 1
+        tmp >>= 1
+    state = np.full(inter.shape, -1, dtype=np.int32)
+    single = popcount == 1
+    if single.any():
+        state[single] = np.log2(inter[single]).astype(np.int32)
+    return state
+
+
+def compute_clvs(ops: TreeOps, P: jnp.ndarray, tip_clvs: jnp.ndarray,
+                 num_rates: int):
+    """Run the scan; returns (buffer [C,S,R,K], logscale [C,S])."""
+    dtype = P.dtype
+    C = ops.n_clvs
+    T, S, K = tip_clvs.shape
+    buf = jnp.zeros((C, S, num_rates, K), dtype=dtype)
+    buf = buf.at[:T].set(jnp.asarray(tip_clvs, dtype)[:, :, None, :])
+    ls = jnp.zeros((C, S), dtype=dtype)
+
+    def step(carry, op):
+        buf, ls = carry
+        out, i1, e1, i2, e2 = op[0], op[1], op[2], op[3], op[4]
+        m1 = jnp.einsum("rij,srj->sri", P[e1], buf[i1])
+        m2 = jnp.einsum("rij,srj->sri", P[e2], buf[i2])
+        clv = m1 * m2
+        scale = jnp.max(clv, axis=(1, 2))
+        safe = jnp.where(scale > 0, scale, 1.0)
+        clv = clv / safe[:, None, None]
+        lsc = ls[i1] + ls[i2] + jnp.log(safe)
+        return (buf.at[out].set(clv), ls.at[out].set(lsc)), None
+
+    (buf, ls), _ = jax.lax.scan(step, (buf, ls), jnp.asarray(ops.ops))
+    return buf, ls
+
+
+@dataclass
+class EdgeTensors:
+    """The HBM-resident per-edge CLV tensors — the framework's core artifact
+    (the analog of the reference's precomputed partition +
+    ``--dump-binary`` CLV store)."""
+    U: jnp.ndarray        # [E, S, R, K] rest-of-tree CLV per edge
+    V: jnp.ndarray        # [E, S, R, K] subtree CLV per edge
+    lsU: jnp.ndarray      # [E, S] log scale of U
+    lsV: jnp.ndarray      # [E, S]
+    lengths: jnp.ndarray  # [E]
+
+
+def build_edge_tensors(tree: Tree, eig: EigenModel, tip_clvs: np.ndarray,
+                       dtype=jnp.float64) -> EdgeTensors:
+    ops = build_tree_ops(tree)
+    P = pmatrices(eig, tree.edge_lengths, dtype=dtype)
+    buf, ls = compute_clvs(ops, P, jnp.asarray(tip_clvs, dtype),
+                           eig.num_rates)
+    u = jnp.asarray(ops.u_idx)
+    v = jnp.asarray(ops.v_idx)
+    return EdgeTensors(U=buf[u], V=buf[v], lsU=ls[u], lsV=ls[v],
+                       lengths=jnp.asarray(tree.edge_lengths, dtype))

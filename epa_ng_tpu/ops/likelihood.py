@@ -1,0 +1,57 @@
+"""Edge log-likelihood evaluation (the analog of
+``pll_compute_edge_loglikelihood``) as batched contractions.
+
+All functions broadcast over arbitrary leading batch dimensions; the
+site-dimension reduction accepts a per-site weight/mask vector which realizes
+the reference's per-query valid-range focus (src/core/pll/pll_util.cpp:388)
+as masked arithmetic instead of pointer shifting.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def site_likelihoods(U, PV, freqs, weights):
+    """L_s = sum_r w_r sum_i pi_i U_i PV_i  -> [..., S] (linear space,
+    excluding scale factors)."""
+    return jnp.einsum("...sri,...sri,i,r->...s", U, PV, freqs, weights)
+
+
+def edge_logl_persite(U, lsU, V, lsV, P, freqs, weights, pinv=0.0,
+                      inv_logterm=None):
+    """Per-site log-likelihood at an edge: [..., S].
+
+    U, V: [..., S, R, K]; lsU, lsV: [..., S]; P: [..., R, K, K].
+    ``inv_logterm``: [S] log(pinv * pi_invstate) with -inf at non-invariant
+    sites (pass None when pinv == 0).
+    """
+    PV = jnp.einsum("...rij,...srj->...sri", P, V)
+    L = site_likelihoods(U, PV, freqs, weights)
+    logL = jnp.log(L) + lsU + lsV
+    if inv_logterm is not None:
+        logL = jnp.logaddexp(jnp.log1p(-pinv) + logL, inv_logterm)
+    return logL
+
+
+def edge_loglikelihood(U, lsU, V, lsV, P, freqs, weights, pinv=0.0,
+                       inv_logterm=None, site_mask=None):
+    """Total log-likelihood at an edge: [...]. ``site_mask`` ([..., S] or
+    [S]) weights each site's contribution (1 = in range)."""
+    logL = edge_logl_persite(U, lsU, V, lsV, P, freqs, weights, pinv,
+                             inv_logterm)
+    if site_mask is not None:
+        logL = logL * site_mask
+    return jnp.sum(logL, axis=-1)
+
+
+def make_inv_logterm(inv_state, freqs, pinv, dtype=jnp.float64):
+    """[S] log(pinv * pi_inv(s)), -inf where the site is not invariant."""
+    import numpy as np
+    if pinv <= 0.0:
+        return None
+    freqs = np.asarray(freqs)
+    out = np.full(inv_state.shape, -np.inf)
+    ok = inv_state >= 0
+    out[ok] = np.log(pinv * freqs[inv_state[ok]])
+    return jnp.asarray(out, dtype=dtype)

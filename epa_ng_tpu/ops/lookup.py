@@ -1,0 +1,81 @@
+"""Preplacement: per-edge per-character log-likelihood lookup tables and the
+batched query scoring contraction.
+
+The reference builds, lazily per branch, a [sites x chars] matrix of per-site
+log-likelihoods for every possible input character, then scores each query by
+a gather+sum over its characters (src/core/Lookup_Store.hpp:110-141,
+src/tree/Tiny_Tree.cpp:18-46,114-128). Here the whole store is one dense
+``[edges, sites, chars]`` tensor built in a single batched contraction, and
+scoring all queries against all edges is ONE matmul on the MXU:
+
+    scores[q, e] = sum_s table[e, s, code(q, s)]
+                 = reshape(onehot(codes) * range_mask, [Q, S*C])
+                   @ reshape(table, [E, S*C]).T
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from epa_ng_tpu.ops.newton import DEFAULT_PENDANT, EigConsts
+
+
+@jax.jit
+def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
+                        inv_logfreq_chars):
+    """[E, S, C] per-site log-likelihood of placing each lookup character.
+
+    U, V: [E,S,R,K]; lsU, lsV: [E,S]; lengths: [E]; char_clvs: [C,K]
+    multi-hot rows for every lookup column; inv_logfreq_chars: [S,C]
+    log(pinv * pi_inv(s,c)) where invariance intersects the reference tips
+    with the placed character (-inf elsewhere; all -inf when pinv == 0).
+
+    Insertion geometry matches the preplacement Tiny_Tree: proximal = distal
+    = original/2, pendant = -log(0.9) (reference: tiny_util.cpp:289,
+    pll_util.cpp:354-386).
+    """
+    # eigen-space propagation over half branches
+    x = c.eigenvals[None, :] * c.rates[:, None] / (1.0 - c.pinv)  # [R,K]
+    half = lengths / 2.0
+    e_half = jnp.exp(x[None] * half[:, None, None])               # [E,R,K]
+
+    def msg(clv, e_t):
+        tX = jnp.einsum("kj,esrj->esrk", c.Ainv, clv)
+        return jnp.einsum("ik,erk,esrk->esri", c.A, e_t, tX)
+
+    inner = msg(U, e_half) * msg(V, e_half)                       # [E,S,R,K]
+
+    # character messages through the default pendant branch
+    e_pen = jnp.exp(x * DEFAULT_PENDANT)                          # [R,K]
+    tC = jnp.einsum("kj,cj->ck", c.Ainv, char_clvs)
+    Mc = jnp.einsum("ik,rk,ck->cri", c.A, e_pen, tC)              # [C,R,K]
+
+    lk = jnp.einsum("esri,cri,i,r->esc", inner, Mc, c.freqs, c.weights)
+    lk = jnp.where(lk > 0, lk, 1e-300)
+    table = jnp.log(lk) + (lsU + lsV)[..., None]
+    # p-inv: log((1-p) * lk_scaled + p * pi_inv)
+    table = jnp.logaddexp(jnp.log1p(-c.pinv) + table,
+                          inv_logfreq_chars[None])
+    return table
+
+
+@jax.jit
+def preplace_scores(table, codes, begins, spans):
+    """scores[q, e] = masked gather-sum of the lookup table.
+
+    table: [E,S,C]; codes: [Q,S] lookup-column ids; begins/spans: [Q] valid
+    ranges (reference premasking semantics: sites outside the range
+    contribute nothing, gaps inside contribute the gap column).
+    """
+    E, S, C = table.shape
+    dtype = table.dtype
+    onehot = jax.nn.one_hot(codes, C, dtype=dtype)                # [Q,S,C]
+    site = jnp.arange(S)
+    in_range = ((site[None, :] >= begins[:, None])
+                & (site[None, :] < (begins + spans)[:, None]))
+    onehot = onehot * in_range[..., None].astype(dtype)
+    return jnp.einsum("qsc,esc->qe", onehot, table,
+                      preferred_element_type=dtype)
