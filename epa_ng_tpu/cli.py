@@ -1,0 +1,361 @@
+"""Command-line driver with EPA-ng flag parity.
+
+Flags, groups, mutual exclusions and dispatch mirror the reference's CLI11
+app (src/main.cpp:96-556): Convert (--bfast, --dump-binary, --split), Input
+(-t/-s/-b/-q/-m), Output (filters, precision, --redo, --preserve-rooting),
+Compute (heuristics, --chunk-size, --raxml-blo, --no-pre-mask,
+--rate-scalers).
+
+Run as ``python -m epa_ng_tpu.cli ...`` or via the ``epa-ng-tpu`` entry
+point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import shlex
+import sys
+import time
+
+from epa_ng_tpu import __version__
+from epa_ng_tpu.utils.options import NumericalScaling, Options
+
+log = logging.getLogger("epa_ng_tpu")
+
+BANNER = r"""
+    ______ ____   ___  ______ ____   __  __      ______ ____   __  __
+   / ____// __ \ /   |/_  __// __ \ / / / /     /_  __// __ \ / / / /
+  / __/  / /_/ // /| | / /  / /_/ // / / /______ / /  / /_/ // / / /
+ / /___ / ____// ___ |/ /  / _, _// /_/ //_____// /  / ____// /_/ /
+/_____//_/    /_/  |_/_/  /_/ |_| \____/       /_/  /_/     \____/
+"""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="epa-ng-tpu",
+        description="TPU-native Massively-Parallel Evolutionary Placement")
+    p.add_argument("-v", "--version", action="store_true",
+                   help="Display version.")
+    p.add_argument("--verbose", action="store_true",
+                   help="Display debug output.")
+
+    conv = p.add_argument_group("Convert")
+    conv.add_argument("-c", "--bfast", metavar="FILE",
+                      help="Convert the given fasta file to bfast format.")
+    conv.add_argument("-B", "--dump-binary", action="store_true",
+                      help="Binary dump mode: write ref. tree CLV store in "
+                           "binary format then exit. NOTE: not compatible "
+                           "with premasking!")
+    conv.add_argument("--split", nargs="+", metavar="MSA",
+                      help="Takes a reference MSA and combined ref+query "
+                           "MSA(s); outputs query.fasta and reference.fasta. "
+                           "Usage: --split ref_alignment query_alignments+")
+
+    inp = p.add_argument_group("Input")
+    inp.add_argument("-t", "--tree", help="Path to Reference Tree file.")
+    inp.add_argument("-s", "--ref-msa", "--msa", dest="ref_msa",
+                     help="Path to Reference MSA file.")
+    inp.add_argument("-b", "--binary",
+                     help="Path to binary reference file, as created using "
+                          "--dump-binary.")
+    inp.add_argument("-q", "--query", help="Path to Query MSA file.")
+    inp.add_argument("-m", "--model", default=None,
+                     help="Description string of the model to be used, or a "
+                          "RAxML_info / raxml-ng .bestModel / IQ-TREE file.")
+
+    out = p.add_argument_group("Output")
+    out.add_argument("-w", "--outdir", "--out-dir", dest="outdir",
+                     default="./", help="Path to output directory.")
+    out.add_argument("--tmp", default="", help="Path to temporary directory.")
+    out.add_argument("--filter-acc-lwr", type=float, default=None,
+                     help="Accumulated likelihood weight after which further "
+                          "placements are discarded.")
+    out.add_argument("--filter-min-lwr", type=float, default=None,
+                     help="Minimum likelihood weight below which a placement "
+                          "is discarded.")
+    out.add_argument("--filter-min", type=int, default=None,
+                     help="Minimum number of placements per sequence.")
+    out.add_argument("--filter-max", type=int, default=None,
+                     help="Maximum number of placements per sequence.")
+    out.add_argument("--precision", type=int, default=None,
+                     help="Output decimal point precision.")
+    out.add_argument("--redo", action="store_true",
+                     help="Overwrite existing files.")
+    out.add_argument("--preserve-rooting", choices=["on", "off"],
+                     default="on",
+                     help="Preserve the rooting of rooted trees.")
+    out.add_argument("--out-file", default="epa_result.jplace",
+                     help="Name of the jplace output file.")
+
+    comp = p.add_argument_group("Compute")
+    comp.add_argument("-g", "--dyn-heur", type=float, default=None,
+                      metavar="X",
+                      help="Two-phase heuristic, candidate edges by "
+                           "accumulative LWR threshold (default 0.99999).")
+    comp.add_argument("-G", "--fix-heur", type=float, default=None,
+                      metavar="X",
+                      help="Two-phase heuristic, candidate edges by "
+                           "percentage of total edges.")
+    comp.add_argument("--baseball-heur", action="store_true",
+                      help="Baseball heuristic as known from pplacer. "
+                           "strike_box=3, max_strikes=6, max_pitches=40.")
+    comp.add_argument("--no-heur", action="store_true",
+                      help="Disables heuristic preplacement completely.")
+    comp.add_argument("--chunk-size", type=int, default=None,
+                      help="Number of query sequences to read at a time.")
+    comp.add_argument("--raxml-blo", action="store_true",
+                      help="Old-style independent branch length optimization "
+                           "instead of the sliding approach.")
+    comp.add_argument("--no-pre-mask", action="store_true",
+                      help="Do NOT pre-mask sequences.")
+    comp.add_argument("--rate-scalers", choices=["on", "off", "auto"],
+                      default="auto",
+                      help="Accepted for CLI parity; the TPU path always "
+                           "uses per-site log-scale accumulators.")
+    comp.add_argument("-T", "--threads", type=int, default=0,
+                      help="Accepted for CLI parity; TPU path ignores it.")
+    comp.add_argument("--compute-dtype", choices=["f32", "f64"],
+                      default=None,
+                      help="Device compute precision (TPU extension; "
+                           "default f64 on CPU, f32 on TPU).")
+    comp.add_argument("--blo-block", type=int, default=None,
+                      help="Batch size for the thorough-placement Newton "
+                           "kernel (TPU extension).")
+    return p
+
+
+def options_from_args(args) -> Options:
+    o = Options()
+    excl = [bool(args.dyn_heur is not None), bool(args.fix_heur is not None),
+            args.baseball_heur, args.no_heur]
+    if sum(excl) > 1:
+        raise SystemExit("Error: --dyn-heur, --fix-heur, --baseball-heur and "
+                         "--no-heur are mutually exclusive")
+    if args.filter_acc_lwr is not None and args.filter_min_lwr is not None:
+        raise SystemExit("Error: --filter-acc-lwr and --filter-min-lwr are "
+                         "mutually exclusive")
+    if args.binary and (args.tree or args.ref_msa):
+        raise SystemExit("Error: --binary excludes --tree/--ref-msa")
+
+    if args.filter_acc_lwr is not None:
+        o.acc_threshold = True
+        o.support_threshold = args.filter_acc_lwr
+    if args.filter_min_lwr is not None:
+        o.acc_threshold = False
+        o.support_threshold = args.filter_min_lwr
+    if args.filter_min is not None:
+        o.filter_min = args.filter_min
+    if args.filter_max is not None:
+        o.filter_max = args.filter_max
+    if o.filter_min > o.filter_max:
+        raise SystemExit("Error: filter-min must not exceed filter-max!")
+    if args.precision is not None:
+        o.precision = args.precision
+    if args.dyn_heur is not None:
+        o.prescoring = True
+        o.prescoring_by_percentage = False
+        o.prescoring_threshold = args.dyn_heur
+    if args.fix_heur is not None:
+        o.prescoring = True
+        o.prescoring_by_percentage = True
+        o.prescoring_threshold = args.fix_heur
+    if args.baseball_heur:
+        o.baseball = True
+    if args.no_heur:
+        o.prescoring = False
+    if args.chunk_size is not None:
+        o.chunk_size = args.chunk_size
+    if args.raxml_blo:
+        o.sliding_blo = False
+    if args.no_pre_mask:
+        o.premasking = False
+        o.repeats = True
+    o.scaling = NumericalScaling(args.rate_scalers)
+    o.preserve_rooting = args.preserve_rooting == "on"
+    o.tmp_dir = args.tmp
+    o.dump_binary_mode = args.dump_binary
+    o.load_binary_mode = bool(args.binary)
+    o.num_threads = args.threads
+    if args.compute_dtype is not None:
+        o.compute_dtype = args.compute_dtype
+    if args.blo_block is not None:
+        o.blo_block = args.blo_block
+    return o
+
+
+def _default_dtype() -> str:
+    """f32 on accelerators (where f64 is emulated and slow), f64 on CPU."""
+    import jax
+    try:
+        plat = jax.default_backend()
+    except Exception:
+        plat = "cpu"
+    dtype = "f64" if plat == "cpu" else "f32"
+    log.info("Selected: compute dtype %s (backend: %s)", dtype, plat)
+    return dtype
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    args = build_parser().parse_args(argv)
+    invocation = "epa-ng-tpu " + " ".join(shlex.quote(a) for a in argv)
+    start_all = time.time()
+
+    if args.version:
+        print(f"epa-ng-tpu v{__version__}")
+        return 0
+    if not argv:
+        build_parser().print_help()
+        return 0
+
+    options = options_from_args(args)
+    outdir = args.outdir
+    os.makedirs(outdir, exist_ok=True)
+
+    # conversion modes need no log file
+    if args.bfast:
+        from epa_ng_tpu.io.bfast import fasta_to_bfast
+        print("Converting given FASTA file to BFAST format...")
+        result = fasta_to_bfast(args.bfast, outdir)
+        print(f"Resulting bfast file was written to: {result}")
+        return 0
+
+    if args.split:
+        if len(args.split) < 2:
+            print("Incorrect number of inputs! Usage: epa-ng-tpu --split "
+                  "ref_alignment query_alignments+", file=sys.stderr)
+            return 1
+        from epa_ng_tpu.utils.split import split
+        ref, queries = args.split[0], args.split[1:]
+        print(f"Splitting files based on reference: {ref}")
+        split(ref, queries, outdir)
+        return 0
+
+    from epa_ng_tpu.utils.logging import setup_logging
+    setup_logging(outdir, verbose=args.verbose, redo=args.redo)
+    log.info(BANNER + f"(v{__version__})\n")
+
+    if args.compute_dtype is None:
+        options.compute_dtype = _default_dtype()
+    if options.compute_dtype == "f64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from epa_ng_tpu.core.engine import PlacementEngine
+    from epa_ng_tpu.io import fasta as fio
+    from epa_ng_tpu.models import Model
+
+    # --- build or load the reference state
+    if options.load_binary_mode:
+        from epa_ng_tpu.io.binary import load_binary
+        log.info("Loading from binary: %s", args.binary)
+        engine = load_binary(args.binary, options)
+        tree = engine.tree
+        qry_info = fio.make_msa_info(args.query) if args.query else None
+        if options.premasking:
+            log.info("Premasking is limited to per-query ranges in binary "
+                     "mode (the CLV store is built unmasked)")
+    else:
+        if not args.tree or not args.ref_msa:
+            print("Error: --tree and --ref-msa (or --binary) are required",
+                  file=sys.stderr)
+            return 1
+        if args.model is None:
+            log.error(
+                "A model has to be explicitly specified! You may specify it "
+                "generically (GTR+G), however parameters will not be "
+                "optimized. We recommend evaluating parameters with raxml-ng "
+                "--evaluate and passing the resulting .bestModel file to "
+                "--model.")
+            return 1
+
+        model_desc = args.model
+        if os.path.isfile(model_desc):
+            from epa_ng_tpu.io.model_files import parse_model_file
+            log.info("Selected: Specified model file: %s", model_desc)
+            model_desc = parse_model_file(model_desc)
+        log.info("Selected: Specified model: %s", model_desc)
+        model = Model.from_string(model_desc)
+
+        from epa_ng_tpu.tree import Tree
+        ref_info = fio.make_msa_info(args.ref_msa)
+        qry_info = fio.make_msa_info(args.query) if args.query else None
+
+        premask = options.premasking and not options.dump_binary_mode
+        if qry_info is not None and premask:
+            if ref_info.sites != qry_info.sites:
+                log.error(
+                    "The reference and query alignment files do not seem to "
+                    "have the same alignment width! (%d vs. %d). Are the "
+                    "query sequences not aligned?", ref_info.sites,
+                    qry_info.sites)
+                return 1
+            fio.MSAInfo.or_mask(ref_info, qry_info)
+
+        ref_msa = fio.build_msa_from_file(args.ref_msa, ref_info, premask)
+        tree = Tree.from_file(args.tree, options.preserve_rooting)
+        engine = PlacementEngine(tree, ref_msa, model, options)
+
+        if options.dump_binary_mode:
+            from epa_ng_tpu.io.binary import dump_binary
+            log.info("Writing to binary")
+            dump_file = os.path.join(outdir, "epa_binary_file")
+            with open(args.tree) as f:
+                dump_binary(engine, dump_file, f.read())
+            log.info("Binary CLV store written to: %s.npz", dump_file)
+            return 0
+
+    if not args.query:
+        log.error("Must supply query file! Combined MSA files not currently "
+                  "supported, please split them and specify using -s and -q.")
+        return 1
+
+    # --- placement loop (the analog of simple_mpi, src/core/place.cpp:173)
+    from epa_ng_tpu.io.jplace import JplaceWriter
+    from epa_ng_tpu.parallel.dist import process_info, merge_jplace_shards
+
+    pidx, pcount = process_info()
+    start_place = time.time()
+
+    reader = fio.make_msa_reader(args.query, qry_info, options.premasking,
+                                 split=True, process_index=pidx,
+                                 process_count=pcount)
+    out_file = args.out_file
+    shard_name = out_file if pcount == 1 else f"{out_file}.shard{pidx}"
+    log.info("Output file: %s", os.path.join(outdir, out_file))
+    tree_string = tree.numbered_newick(options.precision)
+    writer = JplaceWriter(outdir, shard_name, tree_string, invocation,
+                          tree.mapper, precision=options.precision,
+                          fragment=(pcount > 1))
+
+    sequences_done = 0
+    while True:
+        chunk = reader.read_next(options.chunk_size)
+        if not len(chunk):
+            break
+        offset = sequences_done + reader.local_seq_offset
+        pqueries = engine.place_chunk(chunk, seq_id_offset=offset)
+        writer.write(pqueries)
+        sequences_done += len(chunk)
+        log.info("%d Sequences done!", sequences_done)
+    writer.close()
+
+    if pcount > 1:
+        from epa_ng_tpu.parallel.dist import barrier
+        barrier()
+        if pidx == 0:
+            merge_jplace_shards(outdir, out_file, pcount, tree_string,
+                                invocation)
+
+    log.info("Time spent placing: %ds", int(time.time() - start_place))
+    log.info("Elapsed Time: %ds", int(time.time() - start_all))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,6 +78,28 @@ class PlacementEngine:
                 inter &= row
             self._ref_intersection = inter  # [S] uint32
 
+        self._finish_init()
+
+    @classmethod
+    def from_precomputed(cls, tree: Tree, model: Model, options, edges,
+                         num_sites: int, ref_intersection=None):
+        """Engine from a loaded binary CLV store (io.binary.load_binary)."""
+        self = cls.__new__(cls)
+        self.options = options or Options()
+        self.tree = tree
+        self.model = model
+        self.dtype = (jnp.float64 if self.options.compute_dtype == "f64"
+                      else jnp.float32)
+        self.eig = eigen.decompose(model)
+        self.consts = newton.eig_consts(self.eig, self.dtype)
+        self.edges = edges
+        self.num_sites = num_sites
+        self.num_edges = tree.n_edges
+        self._ref_intersection = ref_intersection
+        self._finish_init()
+        return self
+
+    def _finish_init(self):
         # sanity check: finite reference-tree log-likelihood
         # (reference: src/tree/Tree.cpp:49-53)
         self.ref_tree_logl = float(self._reference_logl())
@@ -87,8 +109,8 @@ class PlacementEngine:
 
         self._lookup_table = None
         self._char_clvs = jnp.asarray(
-            lookup_tip_clvs(model.num_states), self.dtype)
-        self._lookup_cols = lookup_chars(model.num_states)
+            lookup_tip_clvs(self.model.num_states), self.dtype)
+        self._lookup_cols = lookup_chars(self.model.num_states)
 
     # ------------------------------------------------------------------
 

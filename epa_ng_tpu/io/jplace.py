@@ -20,18 +20,37 @@ from epa_ng_tpu.core.lwr import PQuery
 from epa_ng_tpu.tree.tree import RtreeMapper
 
 
+def _trailer(invocation: str) -> str:
+    return ("\n  ],\n"
+            f'  "metadata": {{"invocation": "{invocation}"}},\n'
+            '  "version": 3,\n'
+            '  "fields": ["edge_num", "likelihood", "like_weight_ratio", '
+            '"distal_length", "pendant_length"]\n'
+            "}\n")
+
+
+def write_header(f, tree_string: str):
+    f.write("{\n")
+    f.write(f'  "tree": "{tree_string}",\n')
+    f.write('  "placements": \n')
+    f.write("  [\n")
+
+
 class JplaceWriter:
     def __init__(self, outdir: str, file_name: str, tree_string: str,
                  invocation: str, mapper: Optional[RtreeMapper] = None,
-                 precision: int = 10, first: bool = True):
+                 precision: int = 10, fragment: bool = False):
+        """``fragment=True`` writes only the raw placements fragments (no
+        document header/trailer, no leading separator) — used for per-host
+        shard files that merge_jplace_shards later assembles."""
         self.path = os.path.join(outdir, file_name)
         self._f = open(self.path, "w")
         self._tree = tree_string
         self._invocation = invocation
         self._mapper = mapper
         self._precision = precision
-        self._first = first
-        self._leading = first  # write the header block
+        self._fragment = fragment
+        self._first = True
 
     def _fmt(self, v: float) -> str:
         return f"{v:.{self._precision}f}"
@@ -44,12 +63,15 @@ class JplaceWriter:
                 f"{self._fmt(distal)}, {self._fmt(pendant)}]")
 
     def write(self, pqueries: list[PQuery]):
+        if not pqueries:
+            return
         out = []
         if self._first:
-            out.append("{\n")
-            out.append(f'  "tree": "{self._tree}",\n')
-            out.append('  "placements": \n')
-            out.append("  [\n")
+            if not self._fragment:
+                out.append("{\n")
+                out.append(f'  "tree": "{self._tree}",\n')
+                out.append('  "placements": \n')
+                out.append("  [\n")
             self._first = False
         else:
             out.append(",\n")
@@ -81,18 +103,13 @@ class JplaceWriter:
     def close(self):
         if self._f is None:
             return
-        if self._first:
-            # no placements were written at all: still emit a valid document
-            self._f.write("{\n")
-            self._f.write(f'  "tree": "{self._tree}",\n')
-            self._f.write('  "placements": \n  [\n')
-        self._f.write("\n  ],\n")
-        self._f.write(f'  "metadata": {{"invocation": "{self._invocation}"}},\n')
-        self._f.write('  "version": 3,\n')
-        self._f.write('  "fields": ["edge_num", "likelihood", '
-                      '"like_weight_ratio", "distal_length"'
-                      ', "pendant_length"]\n')
-        self._f.write("}\n")
+        if not self._fragment:
+            if self._first:
+                # no placements at all: still emit a valid document
+                self._f.write("{\n")
+                self._f.write(f'  "tree": "{self._tree}",\n')
+                self._f.write('  "placements": \n  [\n')
+            self._f.write(_trailer(self._invocation))
         self._f.close()
         self._f = None
 

@@ -54,12 +54,14 @@ def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
     Mc = jnp.einsum("ik,rk,ck->cri", c.A, e_pen, tC)              # [C,R,K]
 
     lk = jnp.einsum("esri,cri,i,r->esc", inner, Mc, c.freqs, c.weights)
-    lk = jnp.where(lk > 0, lk, 1e-300)
+    # keep the table finite: -inf entries would turn the masked one-hot
+    # score matmul into NaN (0 * -inf), and f32 flushes tiny guards to zero
+    lk = jnp.maximum(lk, jnp.finfo(lk.dtype).tiny)
     table = jnp.log(lk) + (lsU + lsV)[..., None]
     # p-inv: log((1-p) * lk_scaled + p * pi_inv)
     table = jnp.logaddexp(jnp.log1p(-c.pinv) + table,
                           inv_logfreq_chars[None])
-    return table
+    return jnp.maximum(table, jnp.finfo(table.dtype).min / 2)
 
 
 @jax.jit

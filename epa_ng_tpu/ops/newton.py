@@ -89,7 +89,7 @@ def _newton(c: EigConsts, T, pinv_lin, site_mask, xmin, xmax, xtol, xguess):
         f1 = jnp.einsum("srk,rk->s", T, E * x_rk)
         f2 = jnp.einsum("srk,rk->s", T, E * x_rk * x_rk)
         g = omp * f0 + pinv_lin
-        g = jnp.where(g > 0, g, 1e-300)
+        g = jnp.maximum(g, jnp.finfo(g.dtype).tiny)
         r1 = omp * f1 / g
         d1 = jnp.sum(site_mask * r1)
         d2 = jnp.sum(site_mask * (omp * f2 / g - r1 * r1))
@@ -119,7 +119,7 @@ def _logl(c: EigConsts, inner, tQ, pendant, pinv_lin, site_mask, ls):
     Mq = _apply_p(c, tQ[:, None, :] * jnp.ones_like(inner), pendant)
     f = jnp.einsum("sri,sri,i,r->s", inner, Mq, c.freqs, c.weights)
     g = (1.0 - c.pinv) * f + pinv_lin
-    g = jnp.where(g > 0, g, 1e-300)
+    g = jnp.maximum(g, jnp.finfo(g.dtype).tiny)
     return jnp.sum(site_mask * (jnp.log(g) + ls))
 
 

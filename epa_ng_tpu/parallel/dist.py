@@ -1,0 +1,65 @@
+"""Multi-host coordination: process topology and jplace shard merging.
+
+Replaces the reference's MPI layer (src/net/): query sharding is pure
+offset arithmetic (reference local_seq_package,
+src/net/epa_mpi_util.cpp:10-30), handled by the readers; result merging
+concatenates per-host jplace fragments into one document (replacing the
+MPI-IO collective shared-file writes of src/io/jplace_writer.hpp:92-132).
+
+For actual multi-host runs initialize with ``jax.distributed.initialize()``
+before importing the engine; ``process_info`` then reflects the job topology.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) of this host in the job."""
+    try:
+        import jax
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def merge_jplace_shards(outdir: str, out_file: str, count: int,
+                        tree_string: str, invocation: str):
+    """Concatenate per-host fragment shards into the final jplace document.
+    Called on the coordinator (process 0) after all hosts finished."""
+    from epa_ng_tpu.io.jplace import _trailer, write_header
+    final = os.path.join(outdir, out_file)
+    with open(final, "w") as out:
+        write_header(out, tree_string)
+        wrote_any = False
+        for i in range(count):
+            shard = os.path.join(outdir, f"{out_file}.shard{i}")
+            if not os.path.exists(shard):
+                continue
+            with open(shard) as f:
+                content = f.read()
+            if not content:
+                continue
+            if wrote_any:
+                out.write(",\n")
+            out.write(content)
+            wrote_any = True
+        out.write(_trailer(invocation))
+    for i in range(count):
+        shard = os.path.join(outdir, f"{out_file}.shard{i}")
+        if os.path.exists(shard):
+            os.remove(shard)
+    return final
+
+
+def barrier():
+    """Cross-host barrier (no-op single host)."""
+    try:
+        import jax
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("epa_ng_tpu_barrier")
+    except Exception:
+        pass

@@ -1,0 +1,149 @@
+"""Multi-chip sharded placement: mesh construction and the fully-jitted
+placement step.
+
+Parallelization axes (replacing the reference's MPI data parallelism +
+OpenMP, SURVEY §2.3):
+
+- ``dp``: queries are data-parallel (the reference's rank-sharded query
+  streams, src/net/epa_mpi_util.cpp:10-30),
+- ``ep``: edges are model-parallel — the preplacement lookup tensor and the
+  edge CLV tensors are sharded across devices, so trees whose CLV set
+  exceeds one chip's HBM spread over the slice (the TPU answer to the
+  reference's out-of-core -b paging mode, src/tree/Tree.cpp:80-117).
+
+Shardings are expressed with ``jax.sharding.NamedSharding``; XLA inserts the
+all-gathers/reduce-scatters (scores ride the ICI, candidate-edge CLV
+gathers cross the ``ep`` axis).
+
+The fully-jitted :func:`placement_step` is the engine's hot loop as ONE
+XLA computation (preplace -> top-k select -> batched Newton -> LWR); the
+host engine uses it chunk by chunk, and the driver's multi-chip dryrun
+compiles it over an N-device mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from epa_ng_tpu.ops import newton
+
+
+def make_mesh(n_dp: int, n_ep: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_dp * n_ep > len(devices):
+        raise ValueError(
+            f"mesh {n_dp}x{n_ep} needs {n_dp * n_ep} devices, "
+            f"have {len(devices)}")
+    grid = np.asarray(devices[: n_dp * n_ep]).reshape(n_dp, n_ep)
+    return Mesh(grid, axis_names=("dp", "ep"))
+
+
+@partial(jax.jit, static_argnames=("topk", "sliding"))
+def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
+                   codes, begins, spans, qclv, invq, prescoring_threshold,
+                   topk: int = 8, sliding: bool = True):
+    """One fused placement step over a query chunk.
+
+    table: [E,S,C]; U,V: [E,S,R,K]; codes: [Q,S]; qclv: [Q,S,K];
+    invq: [Q,S] p-inv log term. Returns per query the top-k candidate
+    (edges, logl, lwr, pendant, distal, valid-mask), all [Q,topk].
+    """
+    dtype = table.dtype
+    E, S, C = table.shape
+
+    # --- preplacement scores: masked one-hot MXU contraction
+    onehot = jax.nn.one_hot(codes, C, dtype=dtype)
+    site = jnp.arange(S)
+    in_range = ((site[None, :] >= begins[:, None])
+                & (site[None, :] < (begins + spans)[:, None]))
+    onehot = onehot * in_range[..., None].astype(dtype)
+    scores = jnp.einsum("qsc,esc->qe", onehot, table,
+                        preferred_element_type=dtype)
+
+    # --- dynamic-heuristic candidate selection within a static top-k
+    top_scores, top_edges = jax.lax.top_k(scores, topk)      # [Q,k]
+    ex = jnp.exp(scores - top_scores[:, :1])
+    denom = jnp.sum(ex, axis=1, keepdims=True)
+    lwr_pre = jnp.exp(top_scores - top_scores[:, :1]) / denom
+    prefix = jnp.cumsum(lwr_pre, axis=1) - lwr_pre
+    valid = prefix < prescoring_threshold                    # [Q,k]
+
+    # --- thorough placement on all (query, top-k edge) pairs
+    Q = codes.shape[0]
+    flat_e = top_edges.reshape(-1)
+    site_mask = in_range.astype(dtype)
+
+    def pair(qi, e):
+        return (U[e], lsU[e], V[e], lsV[e], qclv[qi], site_mask[qi],
+                lengths[e], invq[qi])
+
+    q_ids = jnp.repeat(jnp.arange(Q), topk)
+    args = jax.vmap(pair)(q_ids, flat_e)
+    logl, pendant, distal_rep, _, _ = newton.blo_optimize_batch(
+        consts, *args, sliding=sliding)
+
+    logl = logl.reshape(Q, topk)
+    pendant = pendant.reshape(Q, topk)
+    distal = distal_rep.reshape(Q, topk)
+
+    # --- LWR over the valid candidates
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    masked_logl = jnp.where(valid, logl, neg_inf)
+    m = jnp.max(masked_logl, axis=1, keepdims=True)
+    exl = jnp.where(valid, jnp.exp(masked_logl - m), 0.0)
+    lwr = exl / jnp.sum(exl, axis=1, keepdims=True)
+
+    return top_edges, logl, lwr, pendant, distal, valid
+
+
+class ShardedPlacement:
+    """Places the engine's tensors on a (dp, ep) mesh and runs the fused
+    placement step with sharded inputs/outputs."""
+
+    def __init__(self, engine, mesh: Mesh, topk: int = 8):
+        self.engine = engine
+        self.mesh = mesh
+        self.topk = topk
+
+        edge_sh = NamedSharding(mesh, P("ep"))
+        repl = NamedSharding(mesh, P())
+        et = engine.edges
+        n_ep = mesh.shape["ep"]
+        E = et.U.shape[0]
+        pad = (-E) % n_ep  # the edge count (2T-3) is odd; pad for sharding
+
+        def pad_e(x, fill=None):
+            if pad == 0:
+                return x
+            if fill is None:  # repeat edge 0 (never selected, see table pad)
+                tail = jnp.repeat(x[:1], pad, axis=0)
+            else:
+                tail = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([x, tail], axis=0)
+
+        table = engine.lookup_table
+        # padded pseudo-edges get a -huge score so top-k never picks them
+        table = pad_e(table, fill=jnp.finfo(table.dtype).min / 2)
+        self.table = jax.device_put(table, edge_sh)
+        self.U = jax.device_put(pad_e(et.U), edge_sh)
+        self.V = jax.device_put(pad_e(et.V), edge_sh)
+        self.lsU = jax.device_put(pad_e(et.lsU), edge_sh)
+        self.lsV = jax.device_put(pad_e(et.lsV), edge_sh)
+        self.lengths = jax.device_put(pad_e(et.lengths), edge_sh)
+        self.consts = jax.device_put(engine.consts, repl)
+        self.qspec = NamedSharding(mesh, P("dp"))
+
+    def step(self, codes, begins, spans, qclv, invq):
+        put = partial(jax.device_put, device=self.qspec)
+        return placement_step(
+            self.consts, self.table, self.U, self.lsU, self.V, self.lsV,
+            self.lengths, put(codes), put(begins), put(spans), put(qclv),
+            put(invq),
+            jnp.asarray(self.engine.options.prescoring_threshold,
+                        self.table.dtype),
+            topk=self.topk, sliding=self.engine.options.sliding_blo)
