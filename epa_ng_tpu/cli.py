@@ -333,17 +333,32 @@ def main(argv=None) -> int:
                           tree.mapper, precision=options.precision,
                           fragment=(pcount > 1))
 
-    sequences_done = 0
-    while True:
+    # async streaming pipeline: reader thread -> device compute -> writer
+    # thread (the analog of the reference's __PREFETCH overlap)
+    from epa_ng_tpu.core.pipeline import StreamingPipeline
+
+    progress = {"done": 0}
+
+    def read_chunk():
         chunk = reader.read_next(options.chunk_size)
-        if not len(chunk):
-            break
-        offset = sequences_done + reader.local_seq_offset
+        return chunk if len(chunk) else None
+
+    def compute(chunk, index):
+        offset = progress["done"] + reader.local_seq_offset
         pqueries = engine.place_chunk(chunk, seq_id_offset=offset)
+        progress["done"] += len(chunk)
+        log.info("%d Sequences done!", progress["done"])
+        return pqueries
+
+    def write(pqueries):
         writer.write(pqueries)
-        sequences_done += len(chunk)
-        log.info("%d Sequences done!", sequences_done)
+
+    pipeline = StreamingPipeline(read_chunk, compute, write)
+    pipeline.run()
     writer.close()
+    log.debug("Stage times: read %.2fs compute %.2fs write %.2fs",
+              pipeline.read_timer.sum(), pipeline.compute_timer.sum(),
+              pipeline.write_timer.sum())
 
     if pcount > 1:
         from epa_ng_tpu.parallel.dist import barrier

@@ -52,6 +52,7 @@ def candidate_mask(scores: jnp.ndarray, threshold, mode: str = "dynamic"):
     else:
         raise ValueError(f"unknown heuristic mode: {mode}")
 
+    keep_sorted = jnp.broadcast_to(keep_sorted, (Q, E))
     mask = jnp.zeros((Q, E), dtype=bool)
     mask = jax.vmap(lambda m_, o_, k_: m_.at[o_].set(k_))(
         mask, order, keep_sorted)

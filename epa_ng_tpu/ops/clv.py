@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# TPU matmuls downcast f32 operands to bf16 by default; the chained CLV
+# contractions need full f32 precision (bf16 error compounds across ~tree
+# depth products and corrupts logls on large trees).
+_PP = jax.lax.Precision.HIGHEST
+
 from epa_ng_tpu.models.charmaps import encode_states, mask_to_clv_rows
 from epa_ng_tpu.ops.eigen import EigenModel, pmatrices
 from epa_ng_tpu.tree.tree import Tree
@@ -163,23 +168,27 @@ def invariant_states(masks: np.ndarray, num_states: int) -> np.ndarray:
 
 def compute_clvs(ops: TreeOps, P: jnp.ndarray, tip_clvs: jnp.ndarray,
                  num_rates: int):
-    """Run the scan; returns (buffer [C,S,R,K], logscale [C,S])."""
+    """Run the scan; returns (buffer [C,S,R,K], logscale [C,S,R])."""
     dtype = P.dtype
     C = ops.n_clvs
     T, S, K = tip_clvs.shape
     buf = jnp.zeros((C, S, num_rates, K), dtype=dtype)
     buf = buf.at[:T].set(jnp.asarray(tip_clvs, dtype)[:, :, None, :])
-    ls = jnp.zeros((C, S), dtype=dtype)
+    ls = jnp.zeros((C, S, num_rates), dtype=dtype)
 
     def step(carry, op):
         buf, ls = carry
         out, i1, e1, i2, e2 = op[0], op[1], op[2], op[3], op[4]
-        m1 = jnp.einsum("rij,srj->sri", P[e1], buf[i1])
-        m2 = jnp.einsum("rij,srj->sri", P[e2], buf[i2])
+        m1 = jnp.einsum("rij,srj->sri", P[e1], buf[i1], precision=_PP)
+        m2 = jnp.einsum("rij,srj->sri", P[e2], buf[i2], precision=_PP)
         clv = m1 * m2
-        scale = jnp.max(clv, axis=(1, 2))
+        # per-(site, rate) rescaling: the analog of libpll's
+        # PLL_ATTRIB_RATE_SCALERS. Joint per-site scaling underflows the
+        # slow gamma categories in f32 on deep trees (each category's scale
+        # drifts apart along the tree), which silently corrupts logls.
+        scale = jnp.max(clv, axis=2)              # [S, R]
         safe = jnp.where(scale > 0, scale, 1.0)
-        clv = clv / safe[:, None, None]
+        clv = clv / safe[:, :, None]
         lsc = ls[i1] + ls[i2] + jnp.log(safe)
         return (buf.at[out].set(clv), ls.at[out].set(lsc)), None
 
@@ -194,8 +203,8 @@ class EdgeTensors:
     ``--dump-binary`` CLV store)."""
     U: jnp.ndarray        # [E, S, R, K] rest-of-tree CLV per edge
     V: jnp.ndarray        # [E, S, R, K] subtree CLV per edge
-    lsU: jnp.ndarray      # [E, S] log scale of U
-    lsV: jnp.ndarray      # [E, S]
+    lsU: jnp.ndarray      # [E, S, R] per-rate log scale of U
+    lsV: jnp.ndarray      # [E, S, R]
     lengths: jnp.ndarray  # [E]
 
 

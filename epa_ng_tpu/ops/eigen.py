@@ -20,6 +20,12 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+# TPU matmuls downcast f32 operands to bf16 by default; the chained CLV
+# contractions need full f32 precision (bf16 error compounds across ~tree
+# depth products and corrupts logls on large trees).
+import jax  # noqa: E402
+_PP = jax.lax.Precision.HIGHEST
+
 
 def build_rate_matrix(subst_rates: np.ndarray, freqs: np.ndarray) -> np.ndarray:
     """Q from upper-triangle exchangeabilities (row-major) + frequencies,
@@ -92,6 +98,6 @@ def pmatrices(eig: EigenModel, lengths, dtype=jnp.float64) -> jnp.ndarray:
     Ainv = jnp.asarray(eig.Ainv, dtype=dtype)
     expd = jnp.exp(t[..., None] * ev)               # [..., R, K]
     # P = A @ diag(expd) @ Ainv
-    P = jnp.einsum("ik,...k,kj->...ij", A, expd, Ainv)
+    P = jnp.einsum("ik,...k,kj->...ij", A, expd, Ainv, precision=_PP)
     # guard tiny negatives from round-off (probabilities)
     return jnp.maximum(P, 0.0)

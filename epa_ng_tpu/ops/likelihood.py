@@ -1,6 +1,11 @@
 """Edge log-likelihood evaluation (the analog of
 ``pll_compute_edge_loglikelihood``) as batched contractions.
 
+CLVs carry per-(site, rate) log scales (see ops.clv); the rate-category
+mixture is therefore computed with a per-site max-shift over categories:
+
+    logL_s = m_s + log( sum_r w_r c_sr exp(ls_sr - m_s) ),  m_s = max_r ls_sr
+
 All functions broadcast over arbitrary leading batch dimensions; the
 site-dimension reduction accepts a per-site weight/mask vector which realizes
 the reference's per-query valid-range focus (src/core/pll/pll_util.cpp:388)
@@ -11,24 +16,28 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-
-def site_likelihoods(U, PV, freqs, weights):
-    """L_s = sum_r w_r sum_i pi_i U_i PV_i  -> [..., S] (linear space,
-    excluding scale factors)."""
-    return jnp.einsum("...sri,...sri,i,r->...s", U, PV, freqs, weights)
+# TPU matmuls downcast f32 operands to bf16 by default; the chained CLV
+# contractions need full f32 precision (bf16 error compounds across ~tree
+# depth products and corrupts logls on large trees).
+import jax  # noqa: E402
+_PP = jax.lax.Precision.HIGHEST
 
 
 def edge_logl_persite(U, lsU, V, lsV, P, freqs, weights, pinv=0.0,
                       inv_logterm=None):
     """Per-site log-likelihood at an edge: [..., S].
 
-    U, V: [..., S, R, K]; lsU, lsV: [..., S]; P: [..., R, K, K].
+    U, V: [..., S, R, K]; lsU, lsV: [..., S, R]; P: [..., R, K, K].
     ``inv_logterm``: [S] log(pinv * pi_invstate) with -inf at non-invariant
     sites (pass None when pinv == 0).
     """
-    PV = jnp.einsum("...rij,...srj->...sri", P, V)
-    L = site_likelihoods(U, PV, freqs, weights)
-    logL = jnp.log(L) + lsU + lsV
+    PV = jnp.einsum("...rij,...srj->...sri", P, V, precision=_PP)
+    c = jnp.einsum("...sri,...sri,i->...sr", U, PV, freqs, precision=_PP)  # per-rate lk
+    ls = lsU + lsV                                          # [..., S, R]
+    m = jnp.max(ls, axis=-1)                                # [..., S]
+    L = jnp.einsum("...sr,r->...s", c * jnp.exp(ls - m[..., None]), weights, precision=_PP)
+    L = jnp.maximum(L, jnp.finfo(L.dtype).tiny)
+    logL = jnp.log(L) + m
     if inv_logterm is not None:
         logL = jnp.logaddexp(jnp.log1p(-pinv) + logL, inv_logterm)
     return logL

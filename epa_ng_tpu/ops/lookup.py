@@ -20,6 +20,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls downcast f32 operands to bf16 by default; the chained CLV
+# contractions need full f32 precision (bf16 error compounds across ~tree
+# depth products and corrupts logls on large trees).
+_PP = jax.lax.Precision.HIGHEST
+
 from epa_ng_tpu.ops.newton import DEFAULT_PENDANT, EigConsts
 
 
@@ -43,21 +48,26 @@ def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
     e_half = jnp.exp(x[None] * half[:, None, None])               # [E,R,K]
 
     def msg(clv, e_t):
-        tX = jnp.einsum("kj,esrj->esrk", c.Ainv, clv)
-        return jnp.einsum("ik,erk,esrk->esri", c.A, e_t, tX)
+        tX = jnp.einsum("kj,esrj->esrk", c.Ainv, clv, precision=_PP)
+        return jnp.einsum("ik,erk,esrk->esri", c.A, e_t, tX, precision=_PP)
 
     inner = msg(U, e_half) * msg(V, e_half)                       # [E,S,R,K]
 
+    # per-(site,rate) scale folding with a per-site max-shift
+    ls = lsU + lsV                                                # [E,S,R]
+    m = jnp.max(ls, axis=-1)                                      # [E,S]
+    inner = inner * jnp.exp(ls - m[..., None])[..., None]
+
     # character messages through the default pendant branch
     e_pen = jnp.exp(x * DEFAULT_PENDANT)                          # [R,K]
-    tC = jnp.einsum("kj,cj->ck", c.Ainv, char_clvs)
-    Mc = jnp.einsum("ik,rk,ck->cri", c.A, e_pen, tC)              # [C,R,K]
+    tC = jnp.einsum("kj,cj->ck", c.Ainv, char_clvs, precision=_PP)
+    Mc = jnp.einsum("ik,rk,ck->cri", c.A, e_pen, tC, precision=_PP)              # [C,R,K]
 
-    lk = jnp.einsum("esri,cri,i,r->esc", inner, Mc, c.freqs, c.weights)
+    lk = jnp.einsum("esri,cri,i,r->esc", inner, Mc, c.freqs, c.weights, precision=_PP)
     # keep the table finite: -inf entries would turn the masked one-hot
     # score matmul into NaN (0 * -inf), and f32 flushes tiny guards to zero
     lk = jnp.maximum(lk, jnp.finfo(lk.dtype).tiny)
-    table = jnp.log(lk) + (lsU + lsV)[..., None]
+    table = jnp.log(lk) + m[..., None]
     # p-inv: log((1-p) * lk_scaled + p * pi_inv)
     table = jnp.logaddexp(jnp.log1p(-c.pinv) + table,
                           inv_logfreq_chars[None])
@@ -78,6 +88,16 @@ def preplace_scores(table, codes, begins, spans):
     site = jnp.arange(S)
     in_range = ((site[None, :] >= begins[:, None])
                 & (site[None, :] < (begins + spans)[:, None]))
-    onehot = onehot * in_range[..., None].astype(dtype)
-    return jnp.einsum("qsc,esc->qe", onehot, table,
-                      preferred_element_type=dtype)
+    in_range = in_range.astype(dtype)
+    onehot = onehot * in_range[..., None]
+    # Precision split: per-site logl magnitudes are large, so a bf16 MXU
+    # pass loses ~0.4% per term. Accumulate the per-(edge,site) mean with a
+    # full-precision (but C-times smaller) matmul and only the small
+    # residuals at fast default precision.
+    mean = jnp.mean(table, axis=2)                                # [E,S]
+    resid = table - mean[..., None]
+    s_resid = jnp.einsum("qsc,esc->qe", onehot, resid,
+                         preferred_element_type=dtype)
+    s_mean = jnp.einsum("qs,es->qe", in_range, mean,
+                        preferred_element_type=dtype, precision=_PP)
+    return s_resid + s_mean

@@ -36,6 +36,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls downcast f32 operands to bf16 by default; the chained CLV
+# contractions need full f32 precision (bf16 error compounds across ~tree
+# depth products and corrupts logls on large trees).
+_PP = jax.lax.Precision.HIGHEST
+
 BRLEN_MIN = 1e-6     # PLLMOD_OPT_MIN_BRANCH_LEN
 BRLEN_MAX = 100.0    # PLLMOD_OPT_MAX_BRANCH_LEN
 BRLEN_DEFAULT = 0.1  # PLLMOD_OPT_DEFAULT_BRANCH_LEN
@@ -74,7 +79,7 @@ def _exps(c: EigConsts, t):
 def _apply_p(c: EigConsts, tX, t):
     """P(t) @ X for an eigen-transformed CLV tX [S,R,K] -> [S,R,K]."""
     e, _ = _exps(c, t)
-    return jnp.einsum("ik,rk,srk->sri", c.A, e, tX)
+    return jnp.einsum("ik,rk,srk->sri", c.A, e, tX, precision=_PP)
 
 
 def _newton(c: EigConsts, T, pinv_lin, site_mask, xmin, xmax, xtol, xguess):
@@ -85,9 +90,9 @@ def _newton(c: EigConsts, T, pinv_lin, site_mask, xmin, xmax, xtol, xguess):
 
     def derivs(t):
         E = jnp.exp(x_rk * t)                         # [R,K]
-        f0 = jnp.einsum("srk,rk->s", T, E)
-        f1 = jnp.einsum("srk,rk->s", T, E * x_rk)
-        f2 = jnp.einsum("srk,rk->s", T, E * x_rk * x_rk)
+        f0 = jnp.einsum("srk,rk->s", T, E, precision=_PP)
+        f1 = jnp.einsum("srk,rk->s", T, E * x_rk, precision=_PP)
+        f2 = jnp.einsum("srk,rk->s", T, E * x_rk * x_rk, precision=_PP)
         g = omp * f0 + pinv_lin
         g = jnp.maximum(g, jnp.finfo(g.dtype).tiny)
         r1 = omp * f1 / g
@@ -117,7 +122,7 @@ def _newton(c: EigConsts, T, pinv_lin, site_mask, xmin, xmax, xtol, xguess):
 def _logl(c: EigConsts, inner, tQ, pendant, pinv_lin, site_mask, ls):
     """Edge logl between the inner CLV and the query tip at given pendant."""
     Mq = _apply_p(c, tQ[:, None, :] * jnp.ones_like(inner), pendant)
-    f = jnp.einsum("sri,sri,i,r->s", inner, Mq, c.freqs, c.weights)
+    f = jnp.einsum("sri,sri,i,r->s", inner, Mq, c.freqs, c.weights, precision=_PP)
     g = (1.0 - c.pinv) * f + pinv_lin
     g = jnp.maximum(g, jnp.finfo(g.dtype).tiny)
     return jnp.sum(site_mask * (jnp.log(g) + ls))
@@ -154,7 +159,7 @@ def _optimize_one(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
         inner = MU * MV  # [S,R,K]
 
         # --- pendant NR: sumtable between inner CLV and query tip
-        a = jnp.einsum("sri,ik->srk", inner, piA)
+        a = jnp.einsum("sri,ik->srk", inner, piA, precision=_PP)
         T1 = c.weights[None, :, None] * a * tQ[:, None, :]
         guess = jnp.where((pendant < BRLEN_MIN) | (pendant > BRLEN_MAX),
                           BRLEN_DEFAULT, pendant)
@@ -164,7 +169,7 @@ def _optimize_one(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
         # --- distal NR (constrained: proximal = orig - distal)
         Mq = _apply_p(c, tQ[:, None, :] * jnp.ones_like(MU), new_pendant)
         part = Mq * MU  # partial toward the distal node
-        a2 = jnp.einsum("sri,ik->srk", part, piA)
+        a2 = jnp.einsum("sri,ik->srk", part, piA, precision=_PP)
         T2 = c.weights[None, :, None] * a2 * tV
         guess2 = jnp.where((distal < dist_min) | (distal > dist_max),
                            orig_len / 2.0, distal)
@@ -223,16 +228,16 @@ def _optimize_one_raxml(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
         MV = _apply_p(c, tV, distal)
 
         # pendant
-        a = jnp.einsum("sri,ik->srk", MU * MV, piA)
+        a = jnp.einsum("sri,ik->srk", MU * MV, piA, precision=_PP)
         pendant2 = nr_branch(c.weights[None, :, None] * a * tQ[:, None, :],
                              pendant)
         Mq = _apply_p(c, tQ[:, None, :] * jnp.ones_like(MU), pendant2)
         # distal
-        a2 = jnp.einsum("sri,ik->srk", Mq * MU, piA)
+        a2 = jnp.einsum("sri,ik->srk", Mq * MU, piA, precision=_PP)
         distal2 = nr_branch(c.weights[None, :, None] * a2 * tV, distal)
         MV2 = _apply_p(c, tV, distal2)
         # proximal
-        a3 = jnp.einsum("sri,ik->srk", Mq * MV2, piA)
+        a3 = jnp.einsum("sri,ik->srk", Mq * MV2, piA, precision=_PP)
         proximal2 = nr_branch(c.weights[None, :, None] * a3 * tU, proximal)
 
         new_neg = -score(pendant2, distal2, proximal2)
@@ -261,9 +266,10 @@ def blo_optimize_batch(c: EigConsts, U, lsU, V, lsV, qclv, site_mask,
                        orig_len, inv_logfreq, sliding: bool = True):
     """Vmapped thorough placement over a padded pair block.
 
-    U, V: [B,S,R,K]; lsU, lsV: [B,S]; qclv: [B,S,K] (multi-hot query tips);
-    site_mask: [B,S]; orig_len: [B]; inv_logfreq: [B,S] log(pinv*pi_inv)
-    with -inf at non-invariant sites (or all -inf when pinv == 0).
+    U, V: [B,S,R,K]; lsU, lsV: [B,S,R] per-rate log scales; qclv: [B,S,K]
+    (multi-hot query tips); site_mask: [B,S]; orig_len: [B]; inv_logfreq:
+    [B,S] log(pinv*pi_inv) with -inf at non-invariant sites (or all -inf
+    when pinv == 0).
 
     Returns (logl, pendant, distal_reported, distal_raw, proximal_raw): the
     reported distal is rescaled to the original branch length like the
@@ -272,10 +278,14 @@ def blo_optimize_batch(c: EigConsts, U, lsU, V, lsV, qclv, site_mask,
     Ainv = c.Ainv
 
     def one(u, lsu, v, lsv, q, m, orig, invf):
-        tU = jnp.einsum("kj,srj->srk", Ainv, u)
-        tV = jnp.einsum("kj,srj->srk", Ainv, v)
-        tQ = jnp.einsum("kj,sj->sk", Ainv, q)
-        ls = lsu + lsv
+        # fold the per-(site,rate) scales (max-shifted per site) into V so
+        # the optimization sees correctly weighted rate categories
+        lsr = lsu + lsv                         # [S, R]
+        ls = jnp.max(lsr, axis=-1)              # [S]
+        v = v * jnp.exp(lsr - ls[:, None])[..., None]
+        tU = jnp.einsum("kj,srj->srk", Ainv, u, precision=_PP)
+        tV = jnp.einsum("kj,srj->srk", Ainv, v, precision=_PP)
+        tQ = jnp.einsum("kj,sj->sk", Ainv, q, precision=_PP)
         # linear-space invariant term, counteracting the CLV scaling
         pinv_lin = jnp.exp(invf - ls) * m
         if sliding:

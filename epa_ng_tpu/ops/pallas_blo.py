@@ -1,0 +1,311 @@
+"""Pallas TPU kernel for the thorough-placement Newton optimization.
+
+Why a kernel: in the XLA path every Newton iteration re-reads the per-pair
+sumtable T [pairs, sites, R*K] from HBM (~67 MB per 2048-pair block), so the
+inner loop is pure HBM bandwidth. This kernel keeps the ENTIRE per-pair
+working set resident in VMEM across the whole optimization.
+
+Key identity: with eigendecomposition Q = A Lambda A^-1 and
+pi_i A_ik factored into G[k1,k2,k3] = sum_i pi_i A_ik1 A_ik2 A_ik3, the
+placement objective is a trilinear form in eigen space:
+
+  f_s(lp, ld, lq) = sum_r w_r sum_{k1,k2,k3} G[k1,k2,k3]
+                    tU[s,r,k1] e^{x_{r,k1} lp}
+                    tV[s,r,k2] e^{x_{r,k2} ld}
+                    tQ[s,k3]   e^{x_{r,k3} lq}
+
+so every length proposal only changes [pairs]-shaped exponential scale
+vectors; all site-tensor products happen once per smoothing on VMEM tiles.
+
+Layout: pairs ride the 128-lane axis; tiles are [S, PB] per (r,k) slice.
+DNA (K=4) and pinv=0 only; larger states / pinv use the XLA path
+(ops.newton).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# TPU matmuls downcast f32 operands to bf16 by default; the chained CLV
+# contractions need full f32 precision (bf16 error compounds across ~tree
+# depth products and corrupts logls on large trees).
+_PP = jax.lax.Precision.HIGHEST
+
+from epa_ng_tpu.ops.newton import (BRLEN_DEFAULT, BRLEN_MAX, BRLEN_MIN,
+                                   DEFAULT_PENDANT, MAX_ITERS,
+                                   OPT_BRANCH_EPSILON, SMOOTHINGS)
+
+PB = 128          # pairs per block (lane dimension)
+MAX_KERNEL_SITES = 512  # VMEM budget bound; larger alignments -> XLA path
+
+R = 4
+K = 4
+RK = R * K
+
+
+def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
+                logl_ref, pendant_ref, distal_ref, proximal_ref):
+    """One pair-block. Refs:
+    xrk_ref:  [RK, 1] SMEM  (eigenvalue*rate exponents)
+    wG_ref:   [RK, K*K] SMEM  (w_r * G[k1,k2,k3] laid out [r*K+k3, k1*K+k2])
+    tU_ref, tV_ref: [RK, S, PB] VMEM eigen-transformed CLVs
+    tQ_ref:   [K, S, PB] VMEM eigen-transformed query tips
+    mask_ref: [S, PB] site masks
+    orig_ref: [1, PB] original branch lengths
+    outputs:  [1, PB] each
+    """
+    S = tU_ref.shape[1]
+    dtype = tU_ref.dtype
+    tiny = jnp.finfo(dtype).tiny
+
+    # All per-pair state is kept 2-D [1, PB]: 1-D (and especially bool)
+    # loop carries trip Mosaic layout inference.
+    orig = orig_ref[...]                        # [1, PB]
+    half = orig * 0.5
+
+    dist_min = jnp.minimum(BRLEN_MIN / 2.0, half)
+    dist_tol = dist_min / 10.0
+    dist_max = orig - dist_tol
+
+    def exps(t):  # [1, PB] -> list of RK [1, PB] vectors
+        return [jnp.exp(xrk_ref[j, 0] * t) for j in range(RK)]
+
+    def build_T(out, lp, ld, q_slices):
+        """out[j] (j = r*K+k3) = sum_{k1,k2} wG[j,k1k2] e1_{rk1} e2_{rk2}
+        tU[rk1] tV[rk2] * q_slices[k3]; writes T into `out` list of tiles.
+        Returns nothing; out is a python list of [S,PB] arrays."""
+        e1 = exps(lp)
+        e2 = exps(ld)
+        T = [None] * RK
+        for r in range(R):
+            for k1 in range(K):
+                for k2 in range(K):
+                    p_tile = tU_ref[r * K + k1] * tV_ref[r * K + k2]
+                    coef = e1[r * K + k1] * e2[r * K + k2]      # [1, PB]
+                    for k3 in range(K):
+                        g = wG_ref[r * K + k3, k1 * K + k2]
+                        term = (g * coef) * p_tile
+                        j = r * K + k3
+                        T[j] = term if T[j] is None else T[j] + term
+        for j in range(RK):
+            r, k3 = divmod(j, K)
+            T[j] = T[j] * q_slices[k3]
+        return T
+
+    mask = mask_ref[...]
+
+    def newton(T, xmin, xmax, xtol, guess):
+        """T: list of RK [S,PB] tiles. Bounds/guess [1,PB] (or scalar)."""
+        x0 = jnp.clip(guess, xmin, xmax)
+        done0 = jnp.zeros((1, PB), dtype)  # 0/1 float mask
+
+        def it(_, carry):
+            x, done = carry
+            E = exps(x)
+            f0 = jnp.zeros((S, PB), dtype)
+            f1 = jnp.zeros((S, PB), dtype)
+            f2 = jnp.zeros((S, PB), dtype)
+            for j in range(RK):
+                xj = xrk_ref[j, 0]
+                tE = T[j] * E[j]
+                f0 += tE
+                f1 += tE * xj
+                f2 += tE * (xj * xj)
+            g = jnp.maximum(f0, tiny)
+            inv_g = 1.0 / g
+            r1 = f1 * inv_g
+            d1 = jnp.sum(mask * r1, axis=0, keepdims=True)       # [1, PB]
+            d2 = jnp.sum(mask * (f2 * inv_g - r1 * r1), axis=0,
+                         keepdims=True)
+            newton_x = x - d1 / jnp.where(d2 == 0, 1.0, d2)
+            slide = jnp.where(d1 > 0, (x + xmax) / 2, (x + xmin) / 2)
+            xn = jnp.clip(jnp.where(d2 < 0, newton_x, slide), xmin, xmax)
+            conv = (jnp.abs(xn - x) < xtol) | (d1 == 0)
+            xn = jnp.where(done > 0, x, xn)
+            done = jnp.maximum(done, conv.astype(dtype))
+            return xn, done
+
+        x, _ = jax.lax.fori_loop(0, MAX_ITERS, it, (x0, done0))
+        return x
+
+    def score(lp, ld, lq):
+        q_plain = [tQ_ref[k] for k in range(K)]
+        T = build_T(None, lp, ld, q_plain)
+        Eq = exps(lq)
+        f = jnp.zeros((S, PB), dtype)
+        for j in range(RK):
+            f += T[j] * Eq[j]
+        g = jnp.maximum(f, tiny)
+        return jnp.sum(mask * jnp.log(g), axis=0, keepdims=True)  # [1, PB]
+
+    pendant0 = jnp.full((1, PB), DEFAULT_PENDANT, dtype)
+    neg0 = -score(half, half, pendant0)
+
+    def smooth_cond(state):
+        _, _, _, _, it, done = state
+        return jnp.logical_and(it < SMOOTHINGS, jnp.any(done < 1))
+
+    def smooth_body(state):
+        pendant, distal, proximal, neg_logl, it, done = state
+        q_plain = [tQ_ref[k] for k in range(K)]
+
+        # --- pendant Newton on T1(lp, ld fixed)
+        T1 = build_T(None, proximal, distal, q_plain)
+        guess = jnp.where((pendant < BRLEN_MIN) | (pendant > BRLEN_MAX),
+                          BRLEN_DEFAULT, pendant)
+        new_pendant = newton(T1, BRLEN_MIN, BRLEN_MAX, BRLEN_MIN / 10.0,
+                             guess)
+
+        # --- distal Newton: swap roles (variable = distal side): the
+        # trilinear form is symmetric, so T2[rk2] = sum over (k1,k3) with
+        # uQ carrying the pendant exponentials. Reuse build_T with
+        # (tU, tQ*e(lq)) ... implemented by treating V as the "query" slot:
+        Eq = exps(new_pendant)
+        # q-with-exponent slices per k3 are rate-dependent; fold into the
+        # same triple loop shape by swapping tV <-> tQ roles:
+        e1 = exps(proximal)
+        T2 = [None] * RK
+        for r in range(R):
+            for k1 in range(K):
+                for k3 in range(K):
+                    p_tile = tU_ref[r * K + k1] * tQ_ref[k3]
+                    coef = e1[r * K + k1] * Eq[r * K + k3]
+                    for k2 in range(K):
+                        g = wG_ref[r * K + k2, k1 * K + k3]
+                        term = (g * coef) * p_tile
+                        j = r * K + k2
+                        T2[j] = term if T2[j] is None else T2[j] + term
+        for j in range(RK):
+            T2[j] = T2[j] * tV_ref[j]
+
+        guess2 = jnp.where((distal < dist_min) | (distal > dist_max),
+                           half, distal)
+        new_distal = newton(T2, dist_min, dist_max, dist_tol, guess2)
+        new_proximal = orig - new_distal
+
+        new_neg = -score(new_proximal, new_distal, new_pendant)
+
+        worse = (new_neg - neg_logl) > jnp.abs(new_neg) * 1e-14
+        converged = jnp.abs(new_neg - neg_logl) < OPT_BRANCH_EPSILON
+        keep = jnp.maximum(worse.astype(dtype), done)
+        pendant_out = jnp.where(keep > 0, pendant, new_pendant)
+        distal_out = jnp.where(keep > 0, distal, new_distal)
+        proximal_out = jnp.where(keep > 0, proximal, new_proximal)
+        neg_out = jnp.where(keep > 0, neg_logl, new_neg)
+        done_out = jnp.maximum(keep, converged.astype(dtype))
+        return (pendant_out, distal_out, proximal_out, neg_out, it + 1,
+                done_out)
+
+    state = (pendant0, half, half, neg0,
+             jnp.zeros((), jnp.int32),
+             jnp.zeros((1, PB), dtype))
+    pendant, distal, proximal, neg_logl, _, _ = jax.lax.while_loop(
+        smooth_cond, smooth_body, state)
+
+    logl_ref[...] = -neg_logl
+    pendant_ref[...] = pendant
+    distal_ref[...] = distal
+    proximal_ref[...] = proximal
+
+
+def _g_tensor(A: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """G[k1,k2,k3] = sum_i pi_i A_ik1 A_ik2 A_ik3."""
+    return np.einsum("i,ik,il,im->klm", freqs, A, A, A)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _transform(Ainv, X):
+    return jnp.einsum("kj,psrj->psrk", Ainv, X, precision=_PP)
+
+
+def blo_supported(consts, num_sites: int) -> bool:
+    return (int(consts.A.shape[0]) == K
+            and int(consts.rates.shape[0]) == R
+            and float(consts.pinv) == 0.0
+            and num_sites <= MAX_KERNEL_SITES
+            and consts.A.dtype == jnp.float32)
+
+
+def blo_optimize_batch_pallas(consts, U, lsU, V, lsV, qclv, site_mask,
+                              orig_len, interpret: bool = False):
+    """Drop-in (sliding-mode, DNA, pinv=0) replacement for
+    ops.newton.blo_optimize_batch. Inputs as there: U,V [P,S,R,K];
+    qclv [P,S,K]; site_mask [P,S]; orig_len [P]."""
+    P, S, R_, K_ = U.shape
+    assert R_ == R and K_ == K
+    dtype = U.dtype
+
+    n_blocks = -(-P // PB)
+    NP = n_blocks * PB
+
+    def pad(x):
+        if NP == P:
+            return x
+        widths = [(0, NP - P)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, mode="edge")
+
+    # fold per-(site,rate) scales into V with a per-site max-shift
+    lsr = pad(lsU) + pad(lsV)                     # [NP,S,R]
+    ls = jnp.max(lsr, axis=-1)                    # [NP,S]
+    Vs = pad(V) * jnp.exp(lsr - ls[..., None])[..., None]
+    tU = _transform(consts.Ainv, pad(U))          # [NP,S,R,K]
+    tV = _transform(consts.Ainv, Vs)
+    tQ = jnp.einsum("kj,psj->psk", consts.Ainv, pad(qclv), precision=_PP)
+
+    # layout: [RK, S, NP] / [K, S, NP]
+    tU = tU.reshape(NP, S, RK).transpose(2, 1, 0)
+    tV = tV.reshape(NP, S, RK).transpose(2, 1, 0)
+    tQ = tQ.transpose(2, 1, 0)
+    mask = pad(site_mask).transpose(1, 0)         # [S, NP]
+    orig = pad(orig_len)[None, :]                 # [1, NP]
+
+    x_rk = (np.asarray(consts.eigenvals)[None, :]
+            * np.asarray(consts.rates)[:, None]).reshape(RK, 1)
+    G = _g_tensor(np.asarray(consts.A), np.asarray(consts.freqs))
+    wG = np.zeros((RK, K * K))
+    w = np.asarray(consts.weights)
+    for r in range(R):
+        for k3 in range(K):
+            wG[r * K + k3] = (w[r] * G[:, :, k3]).reshape(-1)
+
+    grid = (n_blocks,)
+    spec3 = lambda d0: pl.BlockSpec((d0, S, PB), lambda p: (0, 0, p),
+                                    memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, PB), lambda p: (0, p),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((1, NP), dtype)
+
+    logl, pendant, distal, proximal = pl.pallas_call(
+        _blo_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # xrk
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # wG
+            spec3(RK), spec3(RK),                      # tU, tV
+            pl.BlockSpec((K, S, PB), lambda p: (0, 0, p),
+                         memory_space=pltpu.VMEM),     # tQ
+            pl.BlockSpec((S, PB), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),     # mask
+            out_spec,                                  # orig
+        ],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(x_rk, dtype), jnp.asarray(wG, dtype), tU, tV, tQ, mask,
+      orig)
+
+    ls_sum = jnp.sum(pad(site_mask) * ls, axis=1)  # [NP]
+    logl = logl[0, :P] + ls_sum[:P]
+    pendant = pendant[0, :P]
+    distal = distal[0, :P]
+    proximal = proximal[0, :P]
+    distal_rep = (orig_len / (distal + proximal)) * distal
+    return logl, pendant, distal_rep, distal, proximal

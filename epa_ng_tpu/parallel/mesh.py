@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# TPU matmuls downcast f32 operands to bf16 by default; the chained CLV
+# contractions need full f32 precision (bf16 error compounds across ~tree
+# depth products and corrupts logls on large trees).
+_PP = jax.lax.Precision.HIGHEST
+
 from epa_ng_tpu.ops import newton
 
 
@@ -57,13 +62,18 @@ def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
     E, S, C = table.shape
 
     # --- preplacement scores: masked one-hot MXU contraction
+    # (precision-split like ops.lookup.preplace_scores)
     onehot = jax.nn.one_hot(codes, C, dtype=dtype)
     site = jnp.arange(S)
     in_range = ((site[None, :] >= begins[:, None])
                 & (site[None, :] < (begins + spans)[:, None]))
-    onehot = onehot * in_range[..., None].astype(dtype)
-    scores = jnp.einsum("qsc,esc->qe", onehot, table,
-                        preferred_element_type=dtype)
+    in_range_f = in_range.astype(dtype)
+    onehot = onehot * in_range_f[..., None]
+    mean = jnp.mean(table, axis=2)
+    scores = (jnp.einsum("qsc,esc->qe", onehot, table - mean[..., None],
+                         preferred_element_type=dtype)
+              + jnp.einsum("qs,es->qe", in_range_f, mean,
+                           preferred_element_type=dtype, precision=_PP))
 
     # --- dynamic-heuristic candidate selection within a static top-k
     top_scores, top_edges = jax.lax.top_k(scores, topk)      # [Q,k]
@@ -84,6 +94,9 @@ def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
 
     q_ids = jnp.repeat(jnp.arange(Q), topk)
     args = jax.vmap(pair)(q_ids, flat_e)
+    # materialize the gathered pair tensors once; otherwise XLA fuses the
+    # edge gathers into every consumer inside the Newton loops
+    args = jax.lax.optimization_barrier(args)
     logl, pendant, distal_rep, _, _ = newton.blo_optimize_batch(
         consts, *args, sliding=sliding)
 

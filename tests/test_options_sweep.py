@@ -1,0 +1,67 @@
+"""Option-combination sweep — the reference's signature test pattern
+(test/src/Epatest.hpp all_combinations): the same placement run under all
+combinations of {sliding_blo, prescoring, premasking} (+ heuristic modes)
+must stay self-consistent: finite logls, anchors stable, valid output."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from epa_ng_tpu.core.engine import PlacementEngine
+from epa_ng_tpu.io import fasta as fio
+from epa_ng_tpu.models import Model
+from epa_ng_tpu.tree import Tree
+from epa_ng_tpu.utils.options import Options
+
+D = "/root/reference/test/data"
+
+
+@pytest.fixture(scope="module")
+def data():
+    tree = Tree.from_file(f"{D}/ref.tre")
+    ref_info = fio.make_msa_info(f"{D}/aln.fasta")
+    qry_info = fio.make_msa_info(f"{D}/query.fasta")
+    fio.MSAInfo.or_mask(ref_info, qry_info)
+    model = Model.from_string("GTR+G")
+    return tree, ref_info, qry_info, model
+
+
+@pytest.mark.parametrize(
+    "sliding,prescoring,premasking",
+    list(itertools.product([True, False], repeat=3)))
+def test_sweep(data, sliding, prescoring, premasking):
+    tree, ref_info, qry_info, model = data
+    opts = Options(sliding_blo=sliding, prescoring=prescoring,
+                   premasking=premasking, blo_block=32)
+    ref = fio.build_msa_from_file(f"{D}/aln.fasta", ref_info, premasking)
+    qry = fio.build_msa_from_file(f"{D}/query.fasta", qry_info, premasking)
+    eng = PlacementEngine(tree, ref, Model.from_string("GTR+G"), opts)
+    pqs = eng.place_chunk(qry)
+    assert len(pqs) == 2
+    for pq in pqs:
+        assert np.isfinite(pq.logls).all()
+        assert np.isfinite(pq.lwrs).all()
+        assert 1 <= len(pq.edge_nums) <= 7
+        for e, d, p in zip(pq.edge_nums, pq.distal_lengths,
+                           pq.pendant_lengths):
+            assert 0.0 <= d <= tree.edge_lengths[e] + 1e-9
+            assert p >= 0.0
+    # the ML anchors hold under every option combination
+    assert pqs[0].edge_nums[0] == 4  # Rat
+    assert pqs[1].edge_nums[0] == 3  # Carp
+
+
+@pytest.mark.parametrize("mode", ["baseball", "fixed"])
+def test_other_heuristics(data, mode):
+    tree, ref_info, qry_info, model = data
+    opts = Options(blo_block=32,
+                   baseball=(mode == "baseball"),
+                   prescoring_by_percentage=(mode == "fixed"),
+                   prescoring_threshold=(0.2 if mode == "fixed" else 0.99999))
+    ref = fio.build_msa_from_file(f"{D}/aln.fasta", ref_info, True)
+    qry = fio.build_msa_from_file(f"{D}/query.fasta", qry_info, True)
+    eng = PlacementEngine(tree, ref, Model.from_string("GTR+G"), opts)
+    pqs = eng.place_chunk(qry)
+    assert pqs[0].edge_nums[0] == 4
+    assert pqs[1].edge_nums[0] == 3
