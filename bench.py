@@ -71,11 +71,14 @@ def main():
 
     thresh = jnp.asarray(opts.prescoring_threshold, engine.dtype)
 
+    from epa_ng_tpu.parallel.mesh import chunk_site_width
+
     def step(ch):
         codes, begins, spans, qclv, invq = ch
         return placement_step(engine.consts, table, et.U, et.lsU, et.V,
                               et.lsV, et.lengths, codes, begins, spans,
-                              qclv, invq, thresh, topk=TOPK, sliding=True)
+                              qclv, invq, thresh, topk=TOPK, sliding=True,
+                              site_width=chunk_site_width(spans, SITES))
 
     # warmup / compile
     out = step(chunks[0])

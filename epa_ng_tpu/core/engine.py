@@ -17,8 +17,10 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -245,7 +247,11 @@ class PlacementEngine:
         return pqueries
 
     def _thorough(self, pair_e, pair_q, qmasks, ranges):
-        """Blocked vmapped Newton BLO over the pair list."""
+        """Blocked vmapped Newton BLO over the pair list, with range
+        bucketing: pairs are grouped by their query's valid-range width
+        (rounded up to powers of two) and each bucket computes only a
+        site-window of that width — the TPU analog of the reference's
+        premasking/``shift_partition_focus`` payoff on short reads."""
         opts = self.options
         S = self.num_sites
         P = len(pair_e)
@@ -255,44 +261,81 @@ class PlacementEngine:
         nbits = self.model.num_states
         bits = (qmasks[:, :, None] >> np.arange(nbits)[None, None, :]) & 1
         qclv_all = jnp.asarray(bits, self.dtype)          # [Q,S,K]
-        site = np.arange(S)
-        smask_all = ((site[None, :] >= ranges[:, :1])
-                     & (site[None, :] < (ranges[:, :1] + ranges[:, 1:2])))
-        smask_all = jnp.asarray(smask_all, self.dtype)    # [Q,S]
         invq = jnp.asarray(self._inv_logfreq_queries(qmasks), self.dtype)
+
+        begins = ranges[:, 0].astype(np.int32)
+        spans = ranges[:, 1].astype(np.int32)
+
+        def bucket_width(span: int) -> int:
+            w = 64
+            while w < span:
+                w *= 2
+            return min(w, S)
+
+        widths = np.asarray([bucket_width(int(spans[q])) for q in pair_q])
 
         et = self.edges
         out_logl = np.zeros(P)
         out_pendant = np.zeros(P)
         out_distal = np.zeros(P)
 
-        for start in range(0, P, block):
-            end = min(start + block, P)
-            n = end - start
-            e_ids = np.zeros(block, dtype=np.int32)
-            q_ids = np.zeros(block, dtype=np.int32)
-            e_ids[:n] = pair_e[start:end]
-            q_ids[:n] = pair_q[start:end]
-            if n < block:  # pad with the last real pair
-                e_ids[n:] = e_ids[n - 1]
-                q_ids[n:] = q_ids[n - 1]
-            e_j = jnp.asarray(e_ids)
-            q_j = jnp.asarray(q_ids)
-            res = newton.blo_optimize_batch(
-                self.consts,
-                et.U[e_j], et.lsU[e_j], et.V[e_j], et.lsV[e_j],
-                qclv_all[q_j], smask_all[q_j], et.lengths[e_j], invq[q_j],
-                sliding=opts.sliding_blo)
-            logl, pendant, distal_rep, _, _ = res
-            out_logl[start:end] = np.asarray(logl)[:n]
-            out_pendant[start:end] = np.asarray(pendant)[:n]
-            out_distal[start:end] = np.asarray(distal_rep)[:n]
+        order = np.argsort(widths, kind="stable")
+        for W in np.unique(widths):
+            idx = order[widths[order] == W]
+            for start in range(0, len(idx), block):
+                sel = idx[start:start + block]
+                n = len(sel)
+                pad = np.concatenate([sel, np.repeat(sel[-1:], block - n)])
+                e_j = jnp.asarray(pair_e[pad])
+                q_j = jnp.asarray(pair_q[pad])
+                # clamp window starts so begin + W <= S
+                b_np = np.minimum(begins[pair_q[pad]], S - W)
+                b_j = jnp.asarray(b_np)
+                local_begin = begins[pair_q[pad]] - b_np
+                res = _blo_windowed(
+                    self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths,
+                    qclv_all, invq, e_j, q_j, b_j,
+                    jnp.asarray(local_begin),
+                    jnp.asarray(spans[pair_q[pad]]),
+                    int(W), opts.sliding_blo)
+                logl, pendant, distal_rep = res
+                out_logl[sel] = np.asarray(logl)[:n]
+                out_pendant[sel] = np.asarray(pendant)[:n]
+                out_distal[sel] = np.asarray(distal_rep)[:n]
 
         if not np.isfinite(out_logl).all():
             bad = int(np.nonzero(~np.isfinite(out_logl))[0][0])
             raise RuntimeError(
                 f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
         return out_logl, out_pendant, out_distal
+
+
+@partial(jax.jit, static_argnames=("width", "sliding"))
+def _blo_windowed(consts, U, lsU, V, lsV, lengths, qclv, invq,
+                  e_ids, q_ids, win_begin, local_begin, spans,
+                  width: int, sliding: bool):
+    """Gather per-pair site windows [width] out of the full-S tensors and
+    run the Newton batch on the compact windows."""
+    R = U.shape[2]
+    K = U.shape[3]
+
+    def slice_pair(e, q, b):
+        u = jax.lax.dynamic_slice(U[e], (b, 0, 0), (width, R, K))
+        lu = jax.lax.dynamic_slice(lsU[e], (b, 0), (width, R))
+        v = jax.lax.dynamic_slice(V[e], (b, 0, 0), (width, R, K))
+        lv = jax.lax.dynamic_slice(lsV[e], (b, 0), (width, R))
+        qc = jax.lax.dynamic_slice(qclv[q], (b, 0), (width, K))
+        iv = jax.lax.dynamic_slice(invq[q], (b,), (width,))
+        return u, lu, v, lv, qc, iv
+
+    u, lu, v, lv, qc, iv = jax.vmap(slice_pair)(e_ids, q_ids, win_begin)
+    site = jnp.arange(width)
+    mask = ((site[None, :] >= local_begin[:, None])
+            & (site[None, :] < (local_begin + spans)[:, None]))
+    mask = mask.astype(U.dtype)
+    logl, pendant, distal_rep, _, _ = newton.blo_optimize_batch(
+        consts, u, lu, v, lv, qc, mask, lengths[e_ids], iv, sliding=sliding)
+    return logl, pendant, distal_rep
 
 
 def empirical_frequencies(tip_masks: np.ndarray, num_states: int) -> np.ndarray:

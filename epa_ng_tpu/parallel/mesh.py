@@ -48,15 +48,21 @@ def make_mesh(n_dp: int, n_ep: int, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("dp", "ep"))
 
 
-@partial(jax.jit, static_argnames=("topk", "sliding"))
+@partial(jax.jit, static_argnames=("topk", "sliding", "site_width"))
 def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
                    codes, begins, spans, qclv, invq, prescoring_threshold,
-                   topk: int = 8, sliding: bool = True):
+                   topk: int = 8, sliding: bool = True,
+                   site_width: int | None = None):
     """One fused placement step over a query chunk.
 
     table: [E,S,C]; U,V: [E,S,R,K]; codes: [Q,S]; qclv: [Q,S,K];
     invq: [Q,S] p-inv log term. Returns per query the top-k candidate
     (edges, logl, lwr, pendant, distal, valid-mask), all [Q,topk].
+
+    ``site_width``: static window width (>= every query's valid-range span)
+    for the thorough stage; the Newton batch then computes only a
+    per-query site window instead of the full alignment — the short-read
+    premasking payoff. None = full width.
     """
     dtype = table.dtype
     E, S, C = table.shape
@@ -86,11 +92,24 @@ def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
     # --- thorough placement on all (query, top-k edge) pairs
     Q = codes.shape[0]
     flat_e = top_edges.reshape(-1)
-    site_mask = in_range.astype(dtype)
+    R, K = U.shape[2], U.shape[3]
+    W = S if site_width is None else min(site_width, S)
+    win_begin = jnp.minimum(begins, S - W)
+    local_begin = begins - win_begin
 
     def pair(qi, e):
-        return (U[e], lsU[e], V[e], lsV[e], qclv[qi], site_mask[qi],
-                lengths[e], invq[qi])
+        b = win_begin[qi].astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        u = jax.lax.dynamic_slice(U[e], (b, zero, zero), (W, R, K))
+        lu = jax.lax.dynamic_slice(lsU[e], (b, zero), (W, R))
+        v = jax.lax.dynamic_slice(V[e], (b, zero, zero), (W, R, K))
+        lv = jax.lax.dynamic_slice(lsV[e], (b, zero), (W, R))
+        qc = jax.lax.dynamic_slice(qclv[qi], (b, zero), (W, K))
+        iv = jax.lax.dynamic_slice(invq[qi], (b,), (W,))
+        wsite = jnp.arange(W)
+        m = ((wsite >= local_begin[qi])
+             & (wsite < local_begin[qi] + spans[qi])).astype(dtype)
+        return (u, lu, v, lv, qc, m, lengths[e], iv)
 
     q_ids = jnp.repeat(jnp.arange(Q), topk)
     args = jax.vmap(pair)(q_ids, flat_e)
@@ -140,8 +159,10 @@ class ShardedPlacement:
             return jnp.concatenate([x, tail], axis=0)
 
         table = engine.lookup_table
-        # padded pseudo-edges get a -huge score so top-k never picks them
-        table = pad_e(table, fill=jnp.finfo(table.dtype).min / 2)
+        # padded pseudo-edges get a -huge score so top-k never picks them.
+        # The value must survive sums over sites/chars without overflowing
+        # to -inf (which would poison the precision-split mean with NaN).
+        table = pad_e(table, fill=jnp.asarray(-1e30, table.dtype))
         self.table = jax.device_put(table, edge_sh)
         self.U = jax.device_put(pad_e(et.U), edge_sh)
         self.V = jax.device_put(pad_e(et.V), edge_sh)
@@ -159,4 +180,14 @@ class ShardedPlacement:
             put(invq),
             jnp.asarray(self.engine.options.prescoring_threshold,
                         self.table.dtype),
-            topk=self.topk, sliding=self.engine.options.sliding_blo)
+            topk=self.topk, sliding=self.engine.options.sliding_blo,
+            site_width=chunk_site_width(spans, self.U.shape[1]))
+
+
+def chunk_site_width(spans, num_sites: int) -> int:
+    """Power-of-two window width covering every span in the chunk."""
+    max_span = int(np.max(np.asarray(spans))) if len(spans) else num_sites
+    w = 64
+    while w < max_span:
+        w *= 2
+    return min(w, num_sites)
