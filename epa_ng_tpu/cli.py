@@ -327,9 +327,12 @@ def main(argv=None) -> int:
                                  process_count=pcount)
     out_file = args.out_file
     shard_name = out_file if pcount == 1 else f"{out_file}.shard{pidx}"
+    # --tmp: host-local files (e.g. node-local SSD) hold the shards
+    # (reference: src/main.cpp --tmp semantics)
+    shard_dir = options.tmp_dir if (pcount > 1 and options.tmp_dir) else outdir
     log.info("Output file: %s", os.path.join(outdir, out_file))
     tree_string = tree.numbered_newick(options.precision)
-    writer = JplaceWriter(outdir, shard_name, tree_string, invocation,
+    writer = JplaceWriter(shard_dir, shard_name, tree_string, invocation,
                           tree.mapper, precision=options.precision,
                           fragment=(pcount > 1))
 
@@ -364,8 +367,8 @@ def main(argv=None) -> int:
         from epa_ng_tpu.parallel.dist import barrier
         barrier()
         if pidx == 0:
-            merge_jplace_shards(outdir, out_file, pcount, tree_string,
-                                invocation)
+            merge_jplace_shards(shard_dir, out_file, pcount, tree_string,
+                                invocation, final_dir=outdir)
 
     log.info("Time spent placing: %ds", int(time.time() - start_place))
     log.info("Elapsed Time: %ds", int(time.time() - start_all))

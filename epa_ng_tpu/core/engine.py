@@ -214,10 +214,27 @@ class PlacementEngine:
         return np.asarray(scores)
 
     def place_chunk(self, chunk: MSA, seq_id_offset: int = 0) -> list:
-        """Full placement of one chunk; returns filtered PQuery list."""
+        """Full placement of one chunk; returns filtered PQuery list.
+
+        Fast path: for the default dynamic heuristic the whole
+        preplace -> select -> Newton pipeline runs as ONE fused jitted step
+        (parallel.mesh.placement_step) with a static top-k candidate
+        budget; queries whose candidate set saturates the budget (the
+        accumulated-LWR cut wanted more edges) fall back to the exact
+        host-orchestrated path.
+        """
         opts = self.options
         codes, qmasks, ranges = self._encode_chunk(chunk)
         Q = len(chunk)
+
+        fused_ok = (opts.prescoring and not opts.prescoring_by_percentage
+                    and not opts.baseball
+                    and opts.fused_topk < self.num_edges)
+        if fused_ok:
+            result = self._place_chunk_fused(chunk, codes, qmasks, ranges,
+                                             seq_id_offset)
+            if result is not None:
+                return result
 
         if opts.prescoring:
             scores = self.preplace(codes, ranges)
@@ -243,6 +260,86 @@ class PlacementEngine:
                 distal_lengths=distal[idx]))
 
         compute_and_set_lwr(pqueries)
+        filter_pqueries(pqueries, opts)
+        return pqueries
+
+    def _place_chunk_fused(self, chunk, codes, qmasks, ranges,
+                           seq_id_offset):
+        """Fused-step fast path; returns None when >20% of queries
+        saturate the top-k budget (whole chunk falls back)."""
+        from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
+        opts = self.options
+        S = self.num_sites
+        nbits = self.model.num_states
+        bits = (qmasks[:, :, None] >> np.arange(nbits)[None, None, :]) & 1
+        qclv = jnp.asarray(bits, self.dtype)
+        invq = jnp.asarray(self._inv_logfreq_queries(qmasks), self.dtype)
+        et = self.edges
+        topk = min(opts.fused_topk, self.num_edges)
+        out = placement_step(
+            self.consts, self.lookup_table, et.U, et.lsU, et.V, et.lsV,
+            et.lengths, jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
+            jnp.asarray(ranges[:, 1]), qclv, invq,
+            jnp.asarray(opts.prescoring_threshold, self.dtype),
+            topk=topk, sliding=opts.sliding_blo,
+            site_width=chunk_site_width(ranges[:, 1], S), packed=True)
+        out = np.asarray(out)  # single device->host transfer
+        edges = out[0].astype(np.int64)
+        logl, lwr, pendant, distal = out[1], out[2], out[3], out[4]
+        valid = out[5] > 0.5
+        # saturated = every top-k slot selected: the dynamic cut may have
+        # wanted more candidates than the static budget
+        saturated = valid.all(axis=1)
+        if saturated.mean() > 0.2:
+            return None
+
+        pqueries = []
+        redo = []
+        for q in range(len(chunk)):
+            if saturated[q]:
+                redo.append(q)
+                pqueries.append(None)
+                continue
+            keep = valid[q]
+            pqueries.append(PQuery(
+                seq_id=seq_id_offset + q,
+                headers=list(chunk[q].headers),
+                edge_nums=edges[q, keep].astype(np.int64),
+                logls=logl[q, keep],
+                pendant_lengths=pendant[q, keep],
+                distal_lengths=distal[q, keep],
+                lwrs=lwr[q, keep]))
+
+        if redo:
+            # exact slow path for the saturated queries only; pad the
+            # query subset to a power of two so the jitted preplace /
+            # candidate-mask shapes stay cached across chunks
+            n_redo = len(redo)
+            padded = 1
+            while padded < n_redo:
+                padded *= 2
+            redo_pad = redo + [redo[-1]] * (padded - n_redo)
+            scores = self.preplace(codes[redo_pad], ranges[redo_pad])
+            sub_e, sub_q = heuristics.select_work(scores[:n_redo], opts)
+            logl2, pend2, dist2 = self._thorough(
+                sub_e, np.asarray(redo, np.int32)[sub_q], qmasks, ranges)
+            by_query: dict[int, list[int]] = {}
+            for i, qq in enumerate(sub_q):
+                by_query.setdefault(int(qq), []).append(i)
+            sub_pqs = []
+            for qq in sorted(by_query):
+                idx = np.asarray(by_query[qq])
+                pq = PQuery(
+                    seq_id=seq_id_offset + redo[qq],
+                    headers=list(chunk[redo[qq]].headers),
+                    edge_nums=sub_e[idx].astype(np.int64),
+                    logls=logl2[idx],
+                    pendant_lengths=pend2[idx],
+                    distal_lengths=dist2[idx])
+                sub_pqs.append(pq)
+                pqueries[redo[qq]] = pq
+            compute_and_set_lwr(sub_pqs)
+
         filter_pqueries(pqueries, opts)
         return pqueries
 
@@ -279,29 +376,52 @@ class PlacementEngine:
         out_pendant = np.zeros(P)
         out_distal = np.zeros(P)
 
-        order = np.argsort(widths, kind="stable")
-        for W in np.unique(widths):
-            idx = order[widths[order] == W]
-            for start in range(0, len(idx), block):
-                sel = idx[start:start + block]
-                n = len(sel)
-                pad = np.concatenate([sel, np.repeat(sel[-1:], block - n)])
-                e_j = jnp.asarray(pair_e[pad])
-                q_j = jnp.asarray(pair_q[pad])
-                # clamp window starts so begin + W <= S
-                b_np = np.minimum(begins[pair_q[pad]], S - W)
-                b_j = jnp.asarray(b_np)
-                local_begin = begins[pair_q[pad]] - b_np
-                res = _blo_windowed(
-                    self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths,
-                    qclv_all, invq, e_j, q_j, b_j,
-                    jnp.asarray(local_begin),
-                    jnp.asarray(spans[pair_q[pad]]),
-                    int(W), opts.sliding_blo)
-                logl, pendant, distal_rep = res
-                out_logl[sel] = np.asarray(logl)[:n]
-                out_pendant[sel] = np.asarray(pendant)[:n]
-                out_distal[sel] = np.asarray(distal_rep)[:n]
+        def run(idx: np.ndarray, cap: int) -> np.ndarray:
+            """Optimize the given pair subset with a smoothing cap; fills
+            outputs, returns the per-pair converged flags."""
+            done_out = np.zeros(P, dtype=bool)
+            # adapt the block to the subset so small redo batches don't pad
+            # to the full block (shapes stay cached: power-of-two sizes)
+            blk = 256
+            while blk < min(len(idx), block):
+                blk *= 2
+            order = idx[np.argsort(widths[idx], kind="stable")]
+            for W in np.unique(widths[idx]):
+                widx = order[widths[order] == W]
+                for start in range(0, len(widx), blk):
+                    sel = widx[start:start + blk]
+                    n = len(sel)
+                    pad = np.concatenate(
+                        [sel, np.repeat(sel[-1:], blk - n)])
+                    e_j = jnp.asarray(pair_e[pad])
+                    q_j = jnp.asarray(pair_q[pad])
+                    # clamp window starts so begin + W <= S
+                    b_np = np.minimum(begins[pair_q[pad]], S - W)
+                    res = _blo_windowed(
+                        self.consts, et.U, et.lsU, et.V, et.lsV,
+                        et.lengths, qclv_all, invq, e_j, q_j,
+                        jnp.asarray(b_np),
+                        jnp.asarray(begins[pair_q[pad]] - b_np),
+                        jnp.asarray(spans[pair_q[pad]]),
+                        int(W), opts.sliding_blo, cap)
+                    logl, pendant, distal_rep, done = res
+                    out_logl[sel] = np.asarray(logl)[:n]
+                    out_pendant[sel] = np.asarray(pendant)[:n]
+                    out_distal[sel] = np.asarray(distal_rep)[:n]
+                    done_out[sel] = np.asarray(done)[:n]
+            return done_out
+
+        # two-phase convergence compaction: most pairs converge (or roll
+        # back) within a couple of smoothings; run everything with a small
+        # cap first, then only the unconverged tail with the full budget,
+        # so the lock-step while_loop is not dragged to 32 iterations by a
+        # few stragglers.
+        all_idx = np.arange(P)
+        phase1 = min(opts.blo_phase1_smoothings, opts.max_blo_iters)
+        done = run(all_idx, phase1)
+        redo = all_idx[~done]
+        if len(redo):
+            run(redo, opts.max_blo_iters)
 
         if not np.isfinite(out_logl).all():
             bad = int(np.nonzero(~np.isfinite(out_logl))[0][0])
@@ -310,10 +430,11 @@ class PlacementEngine:
         return out_logl, out_pendant, out_distal
 
 
-@partial(jax.jit, static_argnames=("width", "sliding"))
+@partial(jax.jit, static_argnames=("width", "sliding", "max_smoothings"))
 def _blo_windowed(consts, U, lsU, V, lsV, lengths, qclv, invq,
                   e_ids, q_ids, win_begin, local_begin, spans,
-                  width: int, sliding: bool):
+                  width: int, sliding: bool,
+                  max_smoothings: int = newton.SMOOTHINGS):
     """Gather per-pair site windows [width] out of the full-S tensors and
     run the Newton batch on the compact windows."""
     R = U.shape[2]
@@ -333,9 +454,10 @@ def _blo_windowed(consts, U, lsU, V, lsV, lengths, qclv, invq,
     mask = ((site[None, :] >= local_begin[:, None])
             & (site[None, :] < (local_begin + spans)[:, None]))
     mask = mask.astype(U.dtype)
-    logl, pendant, distal_rep, _, _ = newton.blo_optimize_batch(
-        consts, u, lu, v, lv, qc, mask, lengths[e_ids], iv, sliding=sliding)
-    return logl, pendant, distal_rep
+    logl, pendant, distal_rep, _, _, done = newton.blo_optimize_batch(
+        consts, u, lu, v, lv, qc, mask, lengths[e_ids], iv, sliding=sliding,
+        max_smoothings=max_smoothings)
+    return logl, pendant, distal_rep, done
 
 
 def empirical_frequencies(tip_masks: np.ndarray, num_states: int) -> np.ndarray:

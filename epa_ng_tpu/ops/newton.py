@@ -129,7 +129,7 @@ def _logl(c: EigConsts, inner, tQ, pendant, pinv_lin, site_mask, ls):
 
 
 def _optimize_one(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
-                  orig_len):
+                  orig_len, max_smoothings: int = SMOOTHINGS):
     """Optimize one (query, edge) pair. All args per-pair:
     tU, tV: [S,R,K] eigen-transformed edge CLVs; tQ: [S,K] transformed query
     tip; ls: [S] combined log-scale; pinv_lin: [S] linear p-inv site term
@@ -192,17 +192,17 @@ def _optimize_one(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
 
     def smooth_cond(state):
         *_, it, done = state
-        return (~done) & (it < SMOOTHINGS)
+        return (~done) & (it < max_smoothings)
 
     state = (jnp.asarray(init[0]), jnp.asarray(init[1]), jnp.asarray(init[2]),
              neg0, jnp.asarray(0), jnp.asarray(False))
-    pendant, distal, proximal, neg_logl, _, _ = jax.lax.while_loop(
+    pendant, distal, proximal, neg_logl, _, done = jax.lax.while_loop(
         smooth_cond, smooth_body, state)
-    return -neg_logl, pendant, distal, proximal
+    return -neg_logl, pendant, distal, proximal, done
 
 
 def _optimize_one_raxml(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
-                        orig_len):
+                        orig_len, max_smoothings: int = SMOOTHINGS):
     """--raxml-blo analog: per smoothing, NR each of the three branches
     independently in [BRLEN_MIN, BRLEN_MAX] (no sum constraint), like
     pllmod_opt_optimize_branch_lengths_local with radius 1."""
@@ -252,18 +252,19 @@ def _optimize_one_raxml(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
 
     def cond(state):
         *_, it, done = state
-        return (~done) & (it < SMOOTHINGS)
+        return (~done) & (it < max_smoothings)
 
     state = (jnp.asarray(DEFAULT_PENDANT), jnp.asarray(half),
              jnp.asarray(half), neg0, jnp.asarray(0), jnp.asarray(False))
-    pendant, distal, proximal, neg_logl, _, _ = jax.lax.while_loop(
+    pendant, distal, proximal, neg_logl, _, done = jax.lax.while_loop(
         cond, body, state)
-    return -neg_logl, pendant, distal, proximal
+    return -neg_logl, pendant, distal, proximal, done
 
 
-@partial(jax.jit, static_argnames=("sliding",))
+@partial(jax.jit, static_argnames=("sliding", "max_smoothings"))
 def blo_optimize_batch(c: EigConsts, U, lsU, V, lsV, qclv, site_mask,
-                       orig_len, inv_logfreq, sliding: bool = True):
+                       orig_len, inv_logfreq, sliding: bool = True,
+                       max_smoothings: int = SMOOTHINGS):
     """Vmapped thorough placement over a padded pair block.
 
     U, V: [B,S,R,K]; lsU, lsV: [B,S,R] per-rate log scales; qclv: [B,S,K]
@@ -289,13 +290,13 @@ def blo_optimize_batch(c: EigConsts, U, lsU, V, lsV, qclv, site_mask,
         # linear-space invariant term, counteracting the CLV scaling
         pinv_lin = jnp.exp(invf - ls) * m
         if sliding:
-            logl, pendant, distal, proximal = _optimize_one(
-                c, tU, tV, tQ, ls, pinv_lin, m, orig)
+            logl, pendant, distal, proximal, done = _optimize_one(
+                c, tU, tV, tQ, ls, pinv_lin, m, orig, max_smoothings)
         else:
-            logl, pendant, distal, proximal = _optimize_one_raxml(
-                c, tU, tV, tQ, ls, pinv_lin, m, orig)
+            logl, pendant, distal, proximal, done = _optimize_one_raxml(
+                c, tU, tV, tQ, ls, pinv_lin, m, orig, max_smoothings)
         distal_rep = (orig / (distal + proximal)) * distal
-        return logl, pendant, distal_rep, distal, proximal
+        return logl, pendant, distal_rep, distal, proximal, done
 
     return jax.vmap(one)(U, lsU, V, lsV, qclv, site_mask, orig_len,
                          inv_logfreq)

@@ -26,11 +26,13 @@ def process_info() -> tuple[int, int]:
 
 
 def merge_jplace_shards(outdir: str, out_file: str, count: int,
-                        tree_string: str, invocation: str):
+                        tree_string: str, invocation: str,
+                        final_dir: str | None = None):
     """Concatenate per-host fragment shards into the final jplace document.
-    Called on the coordinator (process 0) after all hosts finished."""
+    Called on the coordinator (process 0) after all hosts finished.
+    ``outdir`` holds the shards (possibly --tmp); ``final_dir`` the result."""
     from epa_ng_tpu.io.jplace import _trailer, write_header
-    final = os.path.join(outdir, out_file)
+    final = os.path.join(final_dir or outdir, out_file)
     with open(final, "w") as out:
         write_header(out, tree_string)
         wrote_any = False

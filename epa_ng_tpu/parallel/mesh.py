@@ -48,11 +48,11 @@ def make_mesh(n_dp: int, n_ep: int, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("dp", "ep"))
 
 
-@partial(jax.jit, static_argnames=("topk", "sliding", "site_width"))
+@partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed"))
 def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
                    codes, begins, spans, qclv, invq, prescoring_threshold,
                    topk: int = 8, sliding: bool = True,
-                   site_width: int | None = None):
+                   site_width: int | None = None, packed: bool = False):
     """One fused placement step over a query chunk.
 
     table: [E,S,C]; U,V: [E,S,R,K]; codes: [Q,S]; qclv: [Q,S,K];
@@ -116,7 +116,7 @@ def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
     # materialize the gathered pair tensors once; otherwise XLA fuses the
     # edge gathers into every consumer inside the Newton loops
     args = jax.lax.optimization_barrier(args)
-    logl, pendant, distal_rep, _, _ = newton.blo_optimize_batch(
+    logl, pendant, distal_rep, _, _, _ = newton.blo_optimize_batch(
         consts, *args, sliding=sliding)
 
     logl = logl.reshape(Q, topk)
@@ -130,6 +130,10 @@ def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
     exl = jnp.where(valid, jnp.exp(masked_logl - m), 0.0)
     lwr = exl / jnp.sum(exl, axis=1, keepdims=True)
 
+    if packed:
+        # one [6, Q, topk] array => a single device->host transfer
+        return jnp.stack([top_edges.astype(dtype), logl, lwr, pendant,
+                          distal, valid.astype(dtype)])
     return top_edges, logl, lwr, pendant, distal, valid
 
 

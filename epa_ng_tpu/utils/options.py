@@ -54,5 +54,7 @@ class Options:
     # TPU-specific extensions (no reference analog)
     compute_dtype: str = "f64"  # "f32" | "f64"; bench/TPU runs use f32
     max_blo_iters: int = 32  # outer smoothings (reference: optimize.cpp:269)
+    blo_phase1_smoothings: int = 2  # phase-1 cap of the convergence compaction
     max_newton_iters: int = 30  # inner NR iterations (reference: optimize.cpp:62)
     blo_block: int = 4096  # padded batch size for vmapped Newton BLO
+    fused_topk: int = 8  # candidate budget of the fused fast path
