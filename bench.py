@@ -50,7 +50,6 @@ def main():
         "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}")
     opts = Options(compute_dtype="f32", premasking=True)
     engine = PlacementEngine(tree, ref, model, opts)
-    et = engine.edges
     table = engine.lookup_table
 
     # encode all queries up front (host-side prep is overlapped with device
@@ -62,23 +61,24 @@ def main():
         from epa_ng_tpu.io.fasta import MSA
         msa = MSA(sequences=sub, num_sites=qry.num_sites)
         codes, qmasks, ranges = engine._encode_chunk(msa)
-        bits = (qmasks[:, :, None] >> np.arange(4)[None, None, :]) & 1
+        tQ, invq = engine._query_tensors(qmasks)
         chunks.append((
             jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
-            jnp.asarray(ranges[:, 1]),
-            jnp.asarray(bits, engine.dtype),
-            jnp.asarray(engine._inv_logfreq_queries(qmasks), engine.dtype)))
+            jnp.asarray(ranges[:, 1]), tQ, invq))
 
     thresh = jnp.asarray(opts.prescoring_threshold, engine.dtype)
 
     from epa_ng_tpu.parallel.mesh import chunk_site_width
+    blo = engine.blo
 
     def step(ch):
-        codes, begins, spans, qclv, invq = ch
-        return placement_step(engine.consts, table, et.U, et.lsU, et.V,
-                              et.lsV, et.lengths, codes, begins, spans,
-                              qclv, invq, thresh, topk=TOPK, sliding=True,
-                              site_width=chunk_site_width(spans, SITES))
+        codes, begins, spans, tQ, invq = ch
+        W = chunk_site_width(spans, SITES)
+        return placement_step(engine.consts, table, blo.tU, blo.tV,
+                              blo.ls, blo.lengths, codes, begins, spans,
+                              tQ, invq, thresh, topk=TOPK, sliding=True,
+                              site_width=W,
+                              use_pallas=engine._use_pallas(W))
 
     # warmup / compile
     out = step(chunks[0])

@@ -110,6 +110,7 @@ class PlacementEngine:
         log.info("Reference tree log-likelihood: %.6f", self.ref_tree_logl)
 
         self._lookup_table = None
+        self._blo = None
         self._char_clvs = jnp.asarray(
             lookup_tip_clvs(self.model.num_states), self.dtype)
         self._lookup_cols = lookup_chars(self.model.num_states)
@@ -139,20 +140,20 @@ class PlacementEngine:
                                            self.model.pinv, self.dtype)
 
     def _inv_logfreq_chars(self):
-        """[S, C] invariant log-term per (site, placed char); the invariant
+        """[C, S] invariant log-term per (placed char, site); the invariant
         intersection of the extended tree includes the new query tip."""
         S = self.num_sites
         C = len(self._lookup_cols)
         if self._ref_intersection is None:
-            return jnp.full((S, C), -np.inf, self.dtype)
+            return jnp.full((C, S), -np.inf, self.dtype)
         from epa_ng_tpu.models.charmaps import state_mask_table
         tbl = state_mask_table(self.model.num_states)
         char_masks = np.array([tbl[ord(ch)] for ch in self._lookup_cols],
                               dtype=np.uint32)
-        inter = self._ref_intersection[:, None] & char_masks[None, :]
+        inter = char_masks[:, None] & self._ref_intersection[None, :]
         state = clv_ops.invariant_states(
-            inter.reshape(1, -1), self.model.num_states).reshape(S, C)
-        out = np.full((S, C), -np.inf)
+            inter.reshape(1, -1), self.model.num_states).reshape(C, S)
+        out = np.full((C, S), -np.inf)
         ok = state >= 0
         out[ok] = np.log(self.model.pinv * self.eig.freqs[state[ok]])
         return jnp.asarray(out, self.dtype)
@@ -172,7 +173,7 @@ class PlacementEngine:
 
     @property
     def lookup_table(self):
-        """[E, S, C] preplacement table, built on first use (the analog of
+        """[E, C, S] preplacement table, built on first use (the analog of
         Lookup_Store's lazy per-branch init, built in one shot)."""
         if self._lookup_table is None:
             et = self.edges
@@ -180,6 +181,42 @@ class PlacementEngine:
                 self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths,
                 self._char_clvs, self._inv_logfreq_chars())
         return self._lookup_table
+
+    @property
+    def blo(self):
+        """Eigen-transformed "sumtable store" for the thorough-placement
+        path (newton.BloTensors), built on first use."""
+        if self._blo is None:
+            et = self.edges
+            self._blo = newton.transform_edges(
+                self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths)
+        return self._blo
+
+    def _query_tensors(self, qmasks: np.ndarray):
+        """Device tensors for a chunk: eigen-transformed query tips
+        tQ [Q,K,S] and the p-inv log term invq [Q,S]."""
+        nbits = self.model.num_states
+        bits = (qmasks[:, None, :] >> np.arange(nbits)[None, :, None]) & 1
+        qclv = jnp.asarray(bits, self.dtype)               # [Q,K,S]
+        tQ = newton.transform_queries(self.consts, qclv)
+        invq = jnp.asarray(self._inv_logfreq_queries(qmasks), self.dtype)
+        return tQ, invq
+
+    def _use_pallas(self, width: int) -> bool:
+        """Dispatch the Newton stage to the Pallas kernel? Single-device
+        TPU, DNA, pinv=0, f32, sliding mode only."""
+        opt = self.options.pallas
+        if opt == "off":
+            return False
+        from epa_ng_tpu.ops import pallas_blo
+        ok = (pallas_blo.blo_supported(self.consts, width,
+                                       self.options.sliding_blo)
+              and jax.default_backend() == "tpu")
+        if opt == "on" and not ok:
+            raise ValueError(
+                "pallas=on requires single-TPU, DNA, pinv=0, f32, "
+                "sliding BLO")
+        return ok
 
     # ------------------------------------------------------------------
 
@@ -270,19 +307,17 @@ class PlacementEngine:
         from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
         opts = self.options
         S = self.num_sites
-        nbits = self.model.num_states
-        bits = (qmasks[:, :, None] >> np.arange(nbits)[None, None, :]) & 1
-        qclv = jnp.asarray(bits, self.dtype)
-        invq = jnp.asarray(self._inv_logfreq_queries(qmasks), self.dtype)
-        et = self.edges
+        tQ, invq = self._query_tensors(qmasks)
+        blo = self.blo
         topk = min(opts.fused_topk, self.num_edges)
+        W = chunk_site_width(ranges[:, 1], S)
         out = placement_step(
-            self.consts, self.lookup_table, et.U, et.lsU, et.V, et.lsV,
-            et.lengths, jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
-            jnp.asarray(ranges[:, 1]), qclv, invq,
+            self.consts, self.lookup_table, blo.tU, blo.tV, blo.ls,
+            blo.lengths, jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
+            jnp.asarray(ranges[:, 1]), tQ, invq,
             jnp.asarray(opts.prescoring_threshold, self.dtype),
             topk=topk, sliding=opts.sliding_blo,
-            site_width=chunk_site_width(ranges[:, 1], S), packed=True)
+            site_width=W, packed=True, use_pallas=self._use_pallas(W))
         out = np.asarray(out)  # single device->host transfer
         edges = out[0].astype(np.int64)
         logl, lwr, pendant, distal = out[1], out[2], out[3], out[4]
@@ -354,11 +389,8 @@ class PlacementEngine:
         P = len(pair_e)
         block = opts.blo_block
 
-        # query tip CLVs for this chunk
-        nbits = self.model.num_states
-        bits = (qmasks[:, :, None] >> np.arange(nbits)[None, None, :]) & 1
-        qclv_all = jnp.asarray(bits, self.dtype)          # [Q,S,K]
-        invq = jnp.asarray(self._inv_logfreq_queries(qmasks), self.dtype)
+        # query tip tensors for this chunk
+        tQ, invq = self._query_tensors(qmasks)
 
         begins = ranges[:, 0].astype(np.int32)
         spans = ranges[:, 1].astype(np.int32)
@@ -371,7 +403,7 @@ class PlacementEngine:
 
         widths = np.asarray([bucket_width(int(spans[q])) for q in pair_q])
 
-        et = self.edges
+        blo = self.blo
         out_logl = np.zeros(P)
         out_pendant = np.zeros(P)
         out_distal = np.zeros(P)
@@ -388,6 +420,7 @@ class PlacementEngine:
             order = idx[np.argsort(widths[idx], kind="stable")]
             for W in np.unique(widths[idx]):
                 widx = order[widths[order] == W]
+                use_pallas = (opts.sliding_blo and self._use_pallas(int(W)))
                 for start in range(0, len(widx), blk):
                     sel = widx[start:start + blk]
                     n = len(sel)
@@ -398,12 +431,12 @@ class PlacementEngine:
                     # clamp window starts so begin + W <= S
                     b_np = np.minimum(begins[pair_q[pad]], S - W)
                     res = _blo_windowed(
-                        self.consts, et.U, et.lsU, et.V, et.lsV,
-                        et.lengths, qclv_all, invq, e_j, q_j,
+                        self.consts, blo.tU, blo.tV, blo.ls,
+                        blo.lengths, tQ, invq, e_j, q_j,
                         jnp.asarray(b_np),
                         jnp.asarray(begins[pair_q[pad]] - b_np),
                         jnp.asarray(spans[pair_q[pad]]),
-                        int(W), opts.sliding_blo, cap)
+                        int(W), opts.sliding_blo, cap, use_pallas)
                     logl, pendant, distal_rep, done = res
                     out_logl[sel] = np.asarray(logl)[:n]
                     out_pendant[sel] = np.asarray(pendant)[:n]
@@ -430,33 +463,42 @@ class PlacementEngine:
         return out_logl, out_pendant, out_distal
 
 
-@partial(jax.jit, static_argnames=("width", "sliding", "max_smoothings"))
-def _blo_windowed(consts, U, lsU, V, lsV, lengths, qclv, invq,
+@partial(jax.jit, static_argnames=("width", "sliding", "max_smoothings",
+                                   "use_pallas"))
+def _blo_windowed(consts, tU, tV, ls, lengths, tQ, invq,
                   e_ids, q_ids, win_begin, local_begin, spans,
                   width: int, sliding: bool,
-                  max_smoothings: int = newton.SMOOTHINGS):
+                  max_smoothings: int = newton.SMOOTHINGS,
+                  use_pallas: bool = False):
     """Gather per-pair site windows [width] out of the full-S tensors and
     run the Newton batch on the compact windows."""
-    R = U.shape[2]
-    K = U.shape[3]
+    RK = tU.shape[1]
+    K = tQ.shape[1]
+    zero = jnp.zeros((), jnp.int32)
 
     def slice_pair(e, q, b):
-        u = jax.lax.dynamic_slice(U[e], (b, 0, 0), (width, R, K))
-        lu = jax.lax.dynamic_slice(lsU[e], (b, 0), (width, R))
-        v = jax.lax.dynamic_slice(V[e], (b, 0, 0), (width, R, K))
-        lv = jax.lax.dynamic_slice(lsV[e], (b, 0), (width, R))
-        qc = jax.lax.dynamic_slice(qclv[q], (b, 0), (width, K))
+        b = b.astype(jnp.int32)
+        tu = jax.lax.dynamic_slice(tU[e], (zero, b), (RK, width))
+        tv = jax.lax.dynamic_slice(tV[e], (zero, b), (RK, width))
+        tq = jax.lax.dynamic_slice(tQ[q], (zero, b), (K, width))
+        l = jax.lax.dynamic_slice(ls[e], (b,), (width,))
         iv = jax.lax.dynamic_slice(invq[q], (b,), (width,))
-        return u, lu, v, lv, qc, iv
+        return tu, tv, tq, l, iv
 
-    u, lu, v, lv, qc, iv = jax.vmap(slice_pair)(e_ids, q_ids, win_begin)
+    tu, tv, tq, l, iv = jax.vmap(slice_pair)(e_ids, q_ids, win_begin)
     site = jnp.arange(width)
     mask = ((site[None, :] >= local_begin[:, None])
             & (site[None, :] < (local_begin + spans)[:, None]))
-    mask = mask.astype(U.dtype)
-    logl, pendant, distal_rep, _, _, done = newton.blo_optimize_batch(
-        consts, u, lu, v, lv, qc, mask, lengths[e_ids], iv, sliding=sliding,
-        max_smoothings=max_smoothings)
+    mask = mask.astype(tU.dtype)
+    if use_pallas:
+        from epa_ng_tpu.ops.pallas_blo import blo_optimize_batch_pallas
+        logl, pendant, distal_rep, _, _, done = blo_optimize_batch_pallas(
+            consts, tu, tv, tq, l, mask, lengths[e_ids], iv,
+            max_smoothings=max_smoothings)
+    else:
+        logl, pendant, distal_rep, _, _, done = newton.blo_optimize_batch(
+            consts, tu, tv, tq, l, mask, lengths[e_ids], iv, sliding=sliding,
+            max_smoothings=max_smoothings)
     return logl, pendant, distal_rep, done
 
 

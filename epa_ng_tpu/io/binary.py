@@ -46,7 +46,7 @@ def dump_binary(engine, path: str, tree_newick_text: str):
         model_desc=np.array(resolved_model_descriptor(engine.model)),
         ref_intersection=inter,
         num_sites=np.array(engine.num_sites),
-        format_version=np.array(1))
+        format_version=np.array(2))  # v2: site-last [E,R,K,S] tensor layout
 
 
 def load_binary(path: str, options=None):
@@ -60,6 +60,11 @@ def load_binary(path: str, options=None):
     from epa_ng_tpu.utils.options import Options
 
     data = np.load(path, allow_pickle=False)
+    version = int(data["format_version"]) if "format_version" in data else 0
+    if version != 2:
+        raise ValueError(
+            f"{path}: binary CLV store format v{version} is not supported "
+            "by this build (expected v2) — re-run --dump-binary")
     options = options or Options()
     tree = Tree.from_string(str(data["tree_newick"]),
                             preserve_rooting=options.preserve_rooting)

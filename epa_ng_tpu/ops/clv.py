@@ -168,27 +168,33 @@ def invariant_states(masks: np.ndarray, num_states: int) -> np.ndarray:
 
 def compute_clvs(ops: TreeOps, P: jnp.ndarray, tip_clvs: jnp.ndarray,
                  num_rates: int):
-    """Run the scan; returns (buffer [C,S,R,K], logscale [C,S,R])."""
+    """Run the scan; returns (buffer [C,R,K,S], logscale [C,R,S]).
+
+    Sites ride the last (TPU lane) axis: trailing dims of (rates, states)
+    would be padded to the (8, 128) tile — a 32x memory/VPU blowup for DNA —
+    so every CLV tensor in the framework is laid out site-last.
+    """
     dtype = P.dtype
     C = ops.n_clvs
     T, S, K = tip_clvs.shape
-    buf = jnp.zeros((C, S, num_rates, K), dtype=dtype)
-    buf = buf.at[:T].set(jnp.asarray(tip_clvs, dtype)[:, :, None, :])
-    ls = jnp.zeros((C, S, num_rates), dtype=dtype)
+    buf = jnp.zeros((C, num_rates, K, S), dtype=dtype)
+    tips = jnp.asarray(tip_clvs, dtype).transpose(0, 2, 1)  # [T, K, S]
+    buf = buf.at[:T].set(tips[:, None, :, :])
+    ls = jnp.zeros((C, num_rates, S), dtype=dtype)
 
     def step(carry, op):
         buf, ls = carry
         out, i1, e1, i2, e2 = op[0], op[1], op[2], op[3], op[4]
-        m1 = jnp.einsum("rij,srj->sri", P[e1], buf[i1], precision=_PP)
-        m2 = jnp.einsum("rij,srj->sri", P[e2], buf[i2], precision=_PP)
+        m1 = jnp.einsum("rij,rjs->ris", P[e1], buf[i1], precision=_PP)
+        m2 = jnp.einsum("rij,rjs->ris", P[e2], buf[i2], precision=_PP)
         clv = m1 * m2
         # per-(site, rate) rescaling: the analog of libpll's
         # PLL_ATTRIB_RATE_SCALERS. Joint per-site scaling underflows the
         # slow gamma categories in f32 on deep trees (each category's scale
         # drifts apart along the tree), which silently corrupts logls.
-        scale = jnp.max(clv, axis=2)              # [S, R]
+        scale = jnp.max(clv, axis=1)              # [R, S]
         safe = jnp.where(scale > 0, scale, 1.0)
-        clv = clv / safe[:, :, None]
+        clv = clv / safe[:, None, :]
         lsc = ls[i1] + ls[i2] + jnp.log(safe)
         return (buf.at[out].set(clv), ls.at[out].set(lsc)), None
 
@@ -200,11 +206,11 @@ def compute_clvs(ops: TreeOps, P: jnp.ndarray, tip_clvs: jnp.ndarray,
 class EdgeTensors:
     """The HBM-resident per-edge CLV tensors — the framework's core artifact
     (the analog of the reference's precomputed partition +
-    ``--dump-binary`` CLV store)."""
-    U: jnp.ndarray        # [E, S, R, K] rest-of-tree CLV per edge
-    V: jnp.ndarray        # [E, S, R, K] subtree CLV per edge
-    lsU: jnp.ndarray      # [E, S, R] per-rate log scale of U
-    lsV: jnp.ndarray      # [E, S, R]
+    ``--dump-binary`` CLV store). Site-last layout (see compute_clvs)."""
+    U: jnp.ndarray        # [E, R, K, S] rest-of-tree CLV per edge
+    V: jnp.ndarray        # [E, R, K, S] subtree CLV per edge
+    lsU: jnp.ndarray      # [E, R, S] per-rate log scale of U
+    lsV: jnp.ndarray      # [E, R, S]
     lengths: jnp.ndarray  # [E]
 
 

@@ -27,15 +27,15 @@ def edge_logl_persite(U, lsU, V, lsV, P, freqs, weights, pinv=0.0,
                       inv_logterm=None):
     """Per-site log-likelihood at an edge: [..., S].
 
-    U, V: [..., S, R, K]; lsU, lsV: [..., S, R]; P: [..., R, K, K].
+    U, V: [..., R, K, S]; lsU, lsV: [..., R, S]; P: [..., R, K, K].
     ``inv_logterm``: [S] log(pinv * pi_invstate) with -inf at non-invariant
     sites (pass None when pinv == 0).
     """
-    PV = jnp.einsum("...rij,...srj->...sri", P, V, precision=_PP)
-    c = jnp.einsum("...sri,...sri,i->...sr", U, PV, freqs, precision=_PP)  # per-rate lk
-    ls = lsU + lsV                                          # [..., S, R]
-    m = jnp.max(ls, axis=-1)                                # [..., S]
-    L = jnp.einsum("...sr,r->...s", c * jnp.exp(ls - m[..., None]), weights, precision=_PP)
+    PV = jnp.einsum("...rij,...rjs->...ris", P, V, precision=_PP)
+    c = jnp.einsum("...ris,...ris,i->...rs", U, PV, freqs, precision=_PP)  # per-rate lk
+    ls = lsU + lsV                                          # [..., R, S]
+    m = jnp.max(ls, axis=-2)                                # [..., S]
+    L = jnp.einsum("...rs,r->...s", c * jnp.exp(ls - m[..., None, :]), weights, precision=_PP)
     L = jnp.maximum(L, jnp.finfo(L.dtype).tiny)
     logL = jnp.log(L) + m
     if inv_logterm is not None:

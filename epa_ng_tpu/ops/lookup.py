@@ -31,11 +31,11 @@ from epa_ng_tpu.ops.newton import DEFAULT_PENDANT, EigConsts
 @jax.jit
 def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
                         inv_logfreq_chars):
-    """[E, S, C] per-site log-likelihood of placing each lookup character.
+    """[E, C, S] per-site log-likelihood of placing each lookup character.
 
-    U, V: [E,S,R,K]; lsU, lsV: [E,S]; lengths: [E]; char_clvs: [C,K]
-    multi-hot rows for every lookup column; inv_logfreq_chars: [S,C]
-    log(pinv * pi_inv(s,c)) where invariance intersects the reference tips
+    U, V: [E,R,K,S]; lsU, lsV: [E,R,S]; lengths: [E]; char_clvs: [C,K]
+    multi-hot rows for every lookup column; inv_logfreq_chars: [C,S]
+    log(pinv * pi_inv(c,s)) where invariance intersects the reference tips
     with the placed character (-inf elsewhere; all -inf when pinv == 0).
 
     Insertion geometry matches the preplacement Tiny_Tree: proximal = distal
@@ -48,26 +48,26 @@ def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
     e_half = jnp.exp(x[None] * half[:, None, None])               # [E,R,K]
 
     def msg(clv, e_t):
-        tX = jnp.einsum("kj,esrj->esrk", c.Ainv, clv, precision=_PP)
-        return jnp.einsum("ik,erk,esrk->esri", c.A, e_t, tX, precision=_PP)
+        tX = jnp.einsum("kj,erjs->erks", c.Ainv, clv, precision=_PP)
+        return jnp.einsum("ik,erk,erks->eris", c.A, e_t, tX, precision=_PP)
 
-    inner = msg(U, e_half) * msg(V, e_half)                       # [E,S,R,K]
+    inner = msg(U, e_half) * msg(V, e_half)                       # [E,R,K,S]
 
     # per-(site,rate) scale folding with a per-site max-shift
-    ls = lsU + lsV                                                # [E,S,R]
-    m = jnp.max(ls, axis=-1)                                      # [E,S]
-    inner = inner * jnp.exp(ls - m[..., None])[..., None]
+    ls = lsU + lsV                                                # [E,R,S]
+    m = jnp.max(ls, axis=1)                                       # [E,S]
+    inner = inner * jnp.exp(ls - m[:, None, :])[:, :, None, :]
 
     # character messages through the default pendant branch
     e_pen = jnp.exp(x * DEFAULT_PENDANT)                          # [R,K]
     tC = jnp.einsum("kj,cj->ck", c.Ainv, char_clvs, precision=_PP)
     Mc = jnp.einsum("ik,rk,ck->cri", c.A, e_pen, tC, precision=_PP)              # [C,R,K]
 
-    lk = jnp.einsum("esri,cri,i,r->esc", inner, Mc, c.freqs, c.weights, precision=_PP)
+    lk = jnp.einsum("eris,cri,i,r->ecs", inner, Mc, c.freqs, c.weights, precision=_PP)
     # keep the table finite: -inf entries would turn the masked one-hot
     # score matmul into NaN (0 * -inf), and f32 flushes tiny guards to zero
     lk = jnp.maximum(lk, jnp.finfo(lk.dtype).tiny)
-    table = jnp.log(lk) + m[..., None]
+    table = jnp.log(lk) + m[:, None, :]
     # p-inv: log((1-p) * lk_scaled + p * pi_inv)
     table = jnp.logaddexp(jnp.log1p(-c.pinv) + table,
                           inv_logfreq_chars[None])
@@ -78,25 +78,26 @@ def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
 def preplace_scores(table, codes, begins, spans):
     """scores[q, e] = masked gather-sum of the lookup table.
 
-    table: [E,S,C]; codes: [Q,S] lookup-column ids; begins/spans: [Q] valid
+    table: [E,C,S]; codes: [Q,S] lookup-column ids; begins/spans: [Q] valid
     ranges (reference premasking semantics: sites outside the range
     contribute nothing, gaps inside contribute the gap column).
     """
-    E, S, C = table.shape
+    E, C, S = table.shape
     dtype = table.dtype
-    onehot = jax.nn.one_hot(codes, C, dtype=dtype)                # [Q,S,C]
+    onehot = (codes[:, None, :] == jnp.arange(C)[None, :, None])  # [Q,C,S]
+    onehot = onehot.astype(dtype)
     site = jnp.arange(S)
     in_range = ((site[None, :] >= begins[:, None])
                 & (site[None, :] < (begins + spans)[:, None]))
     in_range = in_range.astype(dtype)
-    onehot = onehot * in_range[..., None]
+    onehot = onehot * in_range[:, None, :]
     # Precision split: per-site logl magnitudes are large, so a bf16 MXU
     # pass loses ~0.4% per term. Accumulate the per-(edge,site) mean with a
     # full-precision (but C-times smaller) matmul and only the small
     # residuals at fast default precision.
-    mean = jnp.mean(table, axis=2)                                # [E,S]
-    resid = table - mean[..., None]
-    s_resid = jnp.einsum("qsc,esc->qe", onehot, resid,
+    mean = jnp.mean(table, axis=1)                                # [E,S]
+    resid = table - mean[:, None, :]
+    s_resid = jnp.einsum("qcs,ecs->qe", onehot, resid,
                          preferred_element_type=dtype)
     s_mean = jnp.einsum("qs,es->qe", in_range, mean,
                         preferred_element_type=dtype, precision=_PP)

@@ -5,11 +5,16 @@ Re-designs the reference's per-(query,edge) Newton-Raphson dance
 (src/core/pll/optimize.cpp:60-248 ``opt_branch_lengths_pplacer``) as one
 vmapped computation over a padded block of (query, edge) pairs:
 
-- all per-pair CLVs are transformed into the substitution model's eigenbasis
-  ONCE (``tU = Ainv @ U`` etc.), after which every transition-matrix
-  application along the optimization trajectory is a cheap elementwise
-  ``exp(lambda * rate * t)`` scaling — the tensor analog of libpll's
-  "sumtable",
+- the edge CLVs are transformed into the substitution model's eigenbasis
+  ONCE PER TREE (:func:`transform_edges` -> :class:`BloTensors`), and query
+  tips once per chunk (:func:`transform_queries`), after which every
+  transition-matrix application along the optimization trajectory is a cheap
+  elementwise ``exp(lambda * rate * t)`` scaling — the tensor analog of
+  libpll's "sumtable". No basis transforms happen inside the hot loop.
+- all per-pair tensors are laid out SITE-LAST ([RK, W] / [K, W]): the site
+  axis rides the TPU's 128-lane dimension and the merged (rate, state) axis
+  the sublanes, so f32 tiles are fully utilized (the naive [S, R, K] layout
+  pads trailing dims of 4 to (8, 128) — a 32x blowup).
 - the outer smoothing loop (pendant NR -> constrained distal NR -> score,
   rollback on worse, converge at |dlogl| < 0.1) runs as ``lax.while_loop``
   with per-pair active masks,
@@ -70,29 +75,55 @@ def eig_consts(eig, dtype=jnp.float64) -> EigConsts:
                      pinv=as_(eig.pinv))
 
 
-def _exps(c: EigConsts, t):
-    """exp(lambda_k * rate_r * t / (1-pinv)) -> [R, K] for scalar t."""
+class BloTensors(NamedTuple):
+    """Eigen-transformed, scale-folded edge tensors: the device-resident
+    "sumtable store" that the thorough-placement hot path reads. Merged
+    (rate, state) axis on sublanes, sites on lanes."""
+    tU: jnp.ndarray       # [E, R*K, S] eigen-transformed rest-of-tree CLV
+    tV: jnp.ndarray       # [E, R*K, S] eigen-transformed subtree CLV,
+    #                       scale-folded (carries exp(lsU+lsV - ls))
+    ls: jnp.ndarray       # [E, S] combined per-site log-scale (max over R)
+    lengths: jnp.ndarray  # [E]
+
+
+@jax.jit
+def transform_edges(c: EigConsts, U, lsU, V, lsV, lengths) -> BloTensors:
+    """Build the BLO sumtable store from plain edge tensors
+    (ops.clv.EdgeTensors layout: U, V [E,R,K,S]; lsU, lsV [E,R,S])."""
+    E, R, K, S = U.shape
+    lsr = lsU + lsV                                    # [E,R,S]
+    ls = jnp.max(lsr, axis=1)                          # [E,S]
+    Vs = V * jnp.exp(lsr - ls[:, None, :])[:, :, None, :]
+    tU = jnp.einsum("kj,erjs->erks", c.Ainv, U, precision=_PP)
+    tV = jnp.einsum("kj,erjs->erks", c.Ainv, Vs, precision=_PP)
+    return BloTensors(tU=tU.reshape(E, R * K, S), tV=tV.reshape(E, R * K, S),
+                      ls=ls, lengths=lengths)
+
+
+@jax.jit
+def transform_queries(c: EigConsts, qclv):
+    """Eigen-transform query tip CLVs: qclv [Q,K,S] -> tQ [Q,K,S]."""
+    return jnp.einsum("kj,qjs->qks", c.Ainv, qclv, precision=_PP)
+
+
+def _x_flat(c: EigConsts):
+    """exp exponents per merged (rate, state): [R*K]."""
     x = c.eigenvals[None, :] * c.rates[:, None] / (1.0 - c.pinv)
-    return jnp.exp(x * t), x
-
-
-def _apply_p(c: EigConsts, tX, t):
-    """P(t) @ X for an eigen-transformed CLV tX [S,R,K] -> [S,R,K]."""
-    e, _ = _exps(c, t)
-    return jnp.einsum("ik,rk,srk->sri", c.A, e, tX, precision=_PP)
+    return x.reshape(-1)
 
 
 def _newton(c: EigConsts, T, pinv_lin, site_mask, xmin, xmax, xtol, xguess):
     """Maximize logl(t) = sum_s m_s log((1-p) f_s(t) + pinv_lin_s) where
-    f_s(t) = sum_rk T[s,r,k] exp(x_rk t); safeguarded Newton on dlogl/dt."""
-    x_rk = c.eigenvals[None, :] * c.rates[:, None] / (1.0 - c.pinv)  # [R,K]
+    f_s(t) = sum_j T[j,s] exp(x_j t); safeguarded Newton on dlogl/dt.
+    T: [R*K, W] sumtable."""
+    x_j = _x_flat(c)                                  # [RK]
     omp = 1.0 - c.pinv
 
     def derivs(t):
-        E = jnp.exp(x_rk * t)                         # [R,K]
-        f0 = jnp.einsum("srk,rk->s", T, E, precision=_PP)
-        f1 = jnp.einsum("srk,rk->s", T, E * x_rk, precision=_PP)
-        f2 = jnp.einsum("srk,rk->s", T, E * x_rk * x_rk, precision=_PP)
+        E = jnp.exp(x_j * t)                          # [RK]
+        f0 = jnp.einsum("js,j->s", T, E, precision=_PP)
+        f1 = jnp.einsum("js,j->s", T, E * x_j, precision=_PP)
+        f2 = jnp.einsum("js,j->s", T, E * x_j * x_j, precision=_PP)
         g = omp * f0 + pinv_lin
         g = jnp.maximum(g, jnp.finfo(g.dtype).tiny)
         r1 = omp * f1 / g
@@ -119,26 +150,55 @@ def _newton(c: EigConsts, T, pinv_lin, site_mask, xmin, xmax, xtol, xguess):
     return x
 
 
+def _apply_p(c: EigConsts, tX, t):
+    """Propagate an eigen-space CLV through P(t) back to the normal basis.
+    tX: [R*K, W] -> [R, K(i), W]."""
+    RK, W = tX.shape
+    K = c.A.shape[0]
+    R = RK // K
+    e = jnp.exp(_x_flat(c) * t)                       # [RK]
+    Y = (tX * e[:, None]).reshape(R, K, W)
+    return jnp.einsum("ik,rks->ris", c.A, Y, precision=_PP)
+
+
+def _q_rk(c: EigConsts, tQ):
+    """Broadcast a [K, W] eigen query tip over rate categories: [R*K, W]."""
+    K, W = tQ.shape
+    R = c.rates.shape[0]
+    return jnp.broadcast_to(tQ[None], (R, K, W)).reshape(R * K, W)
+
+
 def _logl(c: EigConsts, inner, tQ, pendant, pinv_lin, site_mask, ls):
-    """Edge logl between the inner CLV and the query tip at given pendant."""
-    Mq = _apply_p(c, tQ[:, None, :] * jnp.ones_like(inner), pendant)
-    f = jnp.einsum("sri,sri,i,r->s", inner, Mq, c.freqs, c.weights, precision=_PP)
+    """Edge logl between the inner CLV (normal basis, [R,K,W]) and the query
+    tip (eigen basis, [K,W]) at the given pendant length."""
+    Mq = _apply_p(c, _q_rk(c, tQ), pendant)           # [R,K,W]
+    f = jnp.einsum("ris,ris,i,r->s", inner, Mq, c.freqs, c.weights,
+                   precision=_PP)
     g = (1.0 - c.pinv) * f + pinv_lin
     g = jnp.maximum(g, jnp.finfo(g.dtype).tiny)
     return jnp.sum(site_mask * (jnp.log(g) + ls))
 
 
+def _sumtable(c: EigConsts, part, other):
+    """Sumtable between a normal-basis partial ([R,K,W]) and an eigen-basis
+    CLV ([R*K, W] or broadcastable): T[j=r*K+k, s]."""
+    R, K, W = part.shape
+    piA = c.A * c.freqs[:, None]                      # [K(i), K(k)]
+    a = jnp.einsum("ris,ik->rks", part, piA, precision=_PP)
+    T = c.weights[:, None, None] * a * other.reshape(R, K, W)
+    return T.reshape(R * K, W)
+
+
 def _optimize_one(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
                   orig_len, max_smoothings: int = SMOOTHINGS):
     """Optimize one (query, edge) pair. All args per-pair:
-    tU, tV: [S,R,K] eigen-transformed edge CLVs; tQ: [S,K] transformed query
-    tip; ls: [S] combined log-scale; pinv_lin: [S] linear p-inv site term
-    (already includes exp(-ls)); site_mask: [S].
-    Returns (logl, pendant, distal, proximal)."""
-    piA = c.A * c.freqs[:, None]  # pi_i A_ik  [K,K]
-
+    tU, tV: [R*K, W] eigen-transformed edge CLVs (tV scale-folded);
+    tQ: [K, W] transformed query tip; ls: [W] combined log-scale;
+    pinv_lin: [W] linear p-inv site term (already includes exp(-ls));
+    site_mask: [W]. Returns (logl, pendant, distal, proximal, done)."""
     half = orig_len / 2.0
     init = (DEFAULT_PENDANT, half, half)
+    tQrk = _q_rk(c, tQ)
 
     def score(pendant, distal, proximal):
         MU = _apply_p(c, tU, proximal)
@@ -156,21 +216,18 @@ def _optimize_one(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
 
         MU = _apply_p(c, tU, proximal)
         MV = _apply_p(c, tV, distal)
-        inner = MU * MV  # [S,R,K]
+        inner = MU * MV                               # [R,K,W] normal basis
 
         # --- pendant NR: sumtable between inner CLV and query tip
-        a = jnp.einsum("sri,ik->srk", inner, piA, precision=_PP)
-        T1 = c.weights[None, :, None] * a * tQ[:, None, :]
+        T1 = _sumtable(c, inner, tQrk)
         guess = jnp.where((pendant < BRLEN_MIN) | (pendant > BRLEN_MAX),
                           BRLEN_DEFAULT, pendant)
         new_pendant = _newton(c, T1, pinv_lin, site_mask,
                               BRLEN_MIN, BRLEN_MAX, BRLEN_MIN / 10.0, guess)
 
         # --- distal NR (constrained: proximal = orig - distal)
-        Mq = _apply_p(c, tQ[:, None, :] * jnp.ones_like(MU), new_pendant)
-        part = Mq * MU  # partial toward the distal node
-        a2 = jnp.einsum("sri,ik->srk", part, piA, precision=_PP)
-        T2 = c.weights[None, :, None] * a2 * tV
+        Mq = _apply_p(c, tQrk, new_pendant)
+        T2 = _sumtable(c, Mq * MU, tV)
         guess2 = jnp.where((distal < dist_min) | (distal > dist_max),
                            orig_len / 2.0, distal)
         new_distal = _newton(c, T2, pinv_lin, site_mask,
@@ -206,8 +263,8 @@ def _optimize_one_raxml(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
     """--raxml-blo analog: per smoothing, NR each of the three branches
     independently in [BRLEN_MIN, BRLEN_MAX] (no sum constraint), like
     pllmod_opt_optimize_branch_lengths_local with radius 1."""
-    piA = c.A * c.freqs[:, None]
     half = orig_len / 2.0
+    tQrk = _q_rk(c, tQ)
 
     def score(pendant, distal, proximal):
         MU = _apply_p(c, tU, proximal)
@@ -228,17 +285,13 @@ def _optimize_one_raxml(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
         MV = _apply_p(c, tV, distal)
 
         # pendant
-        a = jnp.einsum("sri,ik->srk", MU * MV, piA, precision=_PP)
-        pendant2 = nr_branch(c.weights[None, :, None] * a * tQ[:, None, :],
-                             pendant)
-        Mq = _apply_p(c, tQ[:, None, :] * jnp.ones_like(MU), pendant2)
+        pendant2 = nr_branch(_sumtable(c, MU * MV, tQrk), pendant)
+        Mq = _apply_p(c, tQrk, pendant2)
         # distal
-        a2 = jnp.einsum("sri,ik->srk", Mq * MU, piA, precision=_PP)
-        distal2 = nr_branch(c.weights[None, :, None] * a2 * tV, distal)
+        distal2 = nr_branch(_sumtable(c, Mq * MU, tV), distal)
         MV2 = _apply_p(c, tV, distal2)
         # proximal
-        a3 = jnp.einsum("sri,ik->srk", Mq * MV2, piA, precision=_PP)
-        proximal2 = nr_branch(c.weights[None, :, None] * a3 * tU, proximal)
+        proximal2 = nr_branch(_sumtable(c, Mq * MV2, tU), proximal)
 
         new_neg = -score(pendant2, distal2, proximal2)
         worse = (new_neg - neg_logl) > jnp.abs(new_neg) * 1e-14
@@ -262,41 +315,32 @@ def _optimize_one_raxml(c: EigConsts, tU, tV, tQ, ls, pinv_lin, site_mask,
 
 
 @partial(jax.jit, static_argnames=("sliding", "max_smoothings"))
-def blo_optimize_batch(c: EigConsts, U, lsU, V, lsV, qclv, site_mask,
-                       orig_len, inv_logfreq, sliding: bool = True,
+def blo_optimize_batch(c: EigConsts, tU, tV, tQ, ls, site_mask, orig_len,
+                       inv_logfreq, sliding: bool = True,
                        max_smoothings: int = SMOOTHINGS):
     """Vmapped thorough placement over a padded pair block.
 
-    U, V: [B,S,R,K]; lsU, lsV: [B,S,R] per-rate log scales; qclv: [B,S,K]
-    (multi-hot query tips); site_mask: [B,S]; orig_len: [B]; inv_logfreq:
-    [B,S] log(pinv*pi_inv) with -inf at non-invariant sites (or all -inf
-    when pinv == 0).
+    tU, tV: [B, R*K, W] eigen-transformed per-pair edge CLV windows (tV
+    scale-folded; see transform_edges); tQ: [B, K, W] eigen-transformed
+    query tips (transform_queries); ls: [B, W] combined log-scale;
+    site_mask: [B, W]; orig_len: [B]; inv_logfreq: [B, W] log(pinv*pi_inv)
+    with -inf at non-invariant sites (or all -inf when pinv == 0).
 
-    Returns (logl, pendant, distal_reported, distal_raw, proximal_raw): the
-    reported distal is rescaled to the original branch length like the
-    reference (Tiny_Tree.cpp:183-184).
+    Returns (logl, pendant, distal_reported, distal_raw, proximal_raw,
+    done): the reported distal is rescaled to the original branch length
+    like the reference (Tiny_Tree.cpp:183-184).
     """
-    Ainv = c.Ainv
 
-    def one(u, lsu, v, lsv, q, m, orig, invf):
-        # fold the per-(site,rate) scales (max-shifted per site) into V so
-        # the optimization sees correctly weighted rate categories
-        lsr = lsu + lsv                         # [S, R]
-        ls = jnp.max(lsr, axis=-1)              # [S]
-        v = v * jnp.exp(lsr - ls[:, None])[..., None]
-        tU = jnp.einsum("kj,srj->srk", Ainv, u, precision=_PP)
-        tV = jnp.einsum("kj,srj->srk", Ainv, v, precision=_PP)
-        tQ = jnp.einsum("kj,sj->sk", Ainv, q, precision=_PP)
+    def one(tu, tv, tq, l, m, orig, invf):
         # linear-space invariant term, counteracting the CLV scaling
-        pinv_lin = jnp.exp(invf - ls) * m
+        pinv_lin = jnp.exp(invf - l) * m
         if sliding:
             logl, pendant, distal, proximal, done = _optimize_one(
-                c, tU, tV, tQ, ls, pinv_lin, m, orig, max_smoothings)
+                c, tu, tv, tq, l, pinv_lin, m, orig, max_smoothings)
         else:
             logl, pendant, distal, proximal, done = _optimize_one_raxml(
-                c, tU, tV, tQ, ls, pinv_lin, m, orig, max_smoothings)
+                c, tu, tv, tq, l, pinv_lin, m, orig, max_smoothings)
         distal_rep = (orig / (distal + proximal)) * distal
         return logl, pendant, distal_rep, distal, proximal, done
 
-    return jax.vmap(one)(U, lsU, V, lsV, qclv, site_mask, orig_len,
-                         inv_logfreq)
+    return jax.vmap(one)(tU, tV, tQ, ls, site_mask, orig_len, inv_logfreq)

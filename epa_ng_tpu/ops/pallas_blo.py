@@ -1,9 +1,9 @@
 """Pallas TPU kernel for the thorough-placement Newton optimization.
 
 Why a kernel: in the XLA path every Newton iteration re-reads the per-pair
-sumtable T [pairs, sites, R*K] from HBM (~67 MB per 2048-pair block), so the
-inner loop is pure HBM bandwidth. This kernel keeps the ENTIRE per-pair
-working set resident in VMEM across the whole optimization.
+sumtable T [pairs, R*K, W] from HBM, so the inner loop is pure HBM
+bandwidth. This kernel keeps the ENTIRE per-pair working set resident in
+VMEM across the whole optimization.
 
 Key identity: with eigendecomposition Q = A Lambda A^-1 and
 pi_i A_ik factored into G[k1,k2,k3] = sum_i pi_i A_ik1 A_ik2 A_ik3, the
@@ -17,8 +17,11 @@ placement objective is a trilinear form in eigen space:
 so every length proposal only changes [pairs]-shaped exponential scale
 vectors; all site-tensor products happen once per smoothing on VMEM tiles.
 
-Layout: pairs ride the 128-lane axis; tiles are [S, PB] per (r,k) slice.
-DNA (K=4) and pinv=0 only; larger states / pinv use the XLA path
+Inputs are the pre-transformed per-pair windows produced by
+ops.newton.transform_edges / transform_queries — the same tensors the XLA
+fallback consumes — so the only prologue work here is a transpose to the
+kernel layout: pairs ride the 128-lane axis; tiles are [W, PB] per (r,k)
+slice. DNA (K=4) and pinv=0 only; larger states / pinv use the XLA path
 (ops.newton).
 """
 
@@ -32,17 +35,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# TPU matmuls downcast f32 operands to bf16 by default; the chained CLV
-# contractions need full f32 precision (bf16 error compounds across ~tree
-# depth products and corrupts logls on large trees).
-_PP = jax.lax.Precision.HIGHEST
-
 from epa_ng_tpu.ops.newton import (BRLEN_DEFAULT, BRLEN_MAX, BRLEN_MIN,
                                    DEFAULT_PENDANT, MAX_ITERS,
                                    OPT_BRANCH_EPSILON, SMOOTHINGS)
 
 PB = 128          # pairs per block (lane dimension)
-MAX_KERNEL_SITES = 512  # VMEM budget bound; larger alignments -> XLA path
+MAX_KERNEL_SITES = 1024  # VMEM budget bound on the window width
 
 R = 4
 K = 4
@@ -50,17 +48,18 @@ RK = R * K
 
 
 def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
-                logl_ref, pendant_ref, distal_ref, proximal_ref):
+                logl_ref, pendant_ref, distal_ref, proximal_ref, done_ref,
+                *, max_smoothings: int):
     """One pair-block. Refs:
     xrk_ref:  [RK, 1] SMEM  (eigenvalue*rate exponents)
     wG_ref:   [RK, K*K] SMEM  (w_r * G[k1,k2,k3] laid out [r*K+k3, k1*K+k2])
-    tU_ref, tV_ref: [RK, S, PB] VMEM eigen-transformed CLVs
-    tQ_ref:   [K, S, PB] VMEM eigen-transformed query tips
-    mask_ref: [S, PB] site masks
+    tU_ref, tV_ref: [RK, W, PB] VMEM eigen-transformed CLVs
+    tQ_ref:   [K, W, PB] VMEM eigen-transformed query tips
+    mask_ref: [W, PB] site masks
     orig_ref: [1, PB] original branch lengths
     outputs:  [1, PB] each
     """
-    S = tU_ref.shape[1]
+    W = tU_ref.shape[1]
     dtype = tU_ref.dtype
     tiny = jnp.finfo(dtype).tiny
 
@@ -76,10 +75,9 @@ def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
     def exps(t):  # [1, PB] -> list of RK [1, PB] vectors
         return [jnp.exp(xrk_ref[j, 0] * t) for j in range(RK)]
 
-    def build_T(out, lp, ld, q_slices):
-        """out[j] (j = r*K+k3) = sum_{k1,k2} wG[j,k1k2] e1_{rk1} e2_{rk2}
-        tU[rk1] tV[rk2] * q_slices[k3]; writes T into `out` list of tiles.
-        Returns nothing; out is a python list of [S,PB] arrays."""
+    def build_T(lp, ld, q_slices):
+        """T[j] (j = r*K+k3) = sum_{k1,k2} wG[j,k1k2] e1_{rk1} e2_{rk2}
+        tU[rk1] tV[rk2] * q_slices[k3]; returns a list of RK [W,PB] tiles."""
         e1 = exps(lp)
         e2 = exps(ld)
         T = [None] * RK
@@ -101,16 +99,16 @@ def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
     mask = mask_ref[...]
 
     def newton(T, xmin, xmax, xtol, guess):
-        """T: list of RK [S,PB] tiles. Bounds/guess [1,PB] (or scalar)."""
+        """T: list of RK [W,PB] tiles. Bounds/guess [1,PB] (or scalar)."""
         x0 = jnp.clip(guess, xmin, xmax)
         done0 = jnp.zeros((1, PB), dtype)  # 0/1 float mask
 
         def it(_, carry):
             x, done = carry
             E = exps(x)
-            f0 = jnp.zeros((S, PB), dtype)
-            f1 = jnp.zeros((S, PB), dtype)
-            f2 = jnp.zeros((S, PB), dtype)
+            f0 = jnp.zeros((W, PB), dtype)
+            f1 = jnp.zeros((W, PB), dtype)
+            f2 = jnp.zeros((W, PB), dtype)
             for j in range(RK):
                 xj = xrk_ref[j, 0]
                 tE = T[j] * E[j]
@@ -136,9 +134,9 @@ def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
 
     def score(lp, ld, lq):
         q_plain = [tQ_ref[k] for k in range(K)]
-        T = build_T(None, lp, ld, q_plain)
+        T = build_T(lp, ld, q_plain)
         Eq = exps(lq)
-        f = jnp.zeros((S, PB), dtype)
+        f = jnp.zeros((W, PB), dtype)
         for j in range(RK):
             f += T[j] * Eq[j]
         g = jnp.maximum(f, tiny)
@@ -149,14 +147,14 @@ def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
 
     def smooth_cond(state):
         _, _, _, _, it, done = state
-        return jnp.logical_and(it < SMOOTHINGS, jnp.any(done < 1))
+        return jnp.logical_and(it < max_smoothings, jnp.any(done < 1))
 
     def smooth_body(state):
         pendant, distal, proximal, neg_logl, it, done = state
         q_plain = [tQ_ref[k] for k in range(K)]
 
         # --- pendant Newton on T1(lp, ld fixed)
-        T1 = build_T(None, proximal, distal, q_plain)
+        T1 = build_T(proximal, distal, q_plain)
         guess = jnp.where((pendant < BRLEN_MIN) | (pendant > BRLEN_MAX),
                           BRLEN_DEFAULT, pendant)
         new_pendant = newton(T1, BRLEN_MIN, BRLEN_MAX, BRLEN_MIN / 10.0,
@@ -167,8 +165,6 @@ def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         # uQ carrying the pendant exponentials. Reuse build_T with
         # (tU, tQ*e(lq)) ... implemented by treating V as the "query" slot:
         Eq = exps(new_pendant)
-        # q-with-exponent slices per k3 are rate-dependent; fold into the
-        # same triple loop shape by swapping tV <-> tQ roles:
         e1 = exps(proximal)
         T2 = [None] * RK
         for r in range(R):
@@ -205,13 +201,14 @@ def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
     state = (pendant0, half, half, neg0,
              jnp.zeros((), jnp.int32),
              jnp.zeros((1, PB), dtype))
-    pendant, distal, proximal, neg_logl, _, _ = jax.lax.while_loop(
+    pendant, distal, proximal, neg_logl, _, done = jax.lax.while_loop(
         smooth_cond, smooth_body, state)
 
     logl_ref[...] = -neg_logl
     pendant_ref[...] = pendant
     distal_ref[...] = distal
     proximal_ref[...] = proximal
+    done_ref[...] = done
 
 
 def _g_tensor(A: np.ndarray, freqs: np.ndarray) -> np.ndarray:
@@ -219,93 +216,88 @@ def _g_tensor(A: np.ndarray, freqs: np.ndarray) -> np.ndarray:
     return np.einsum("i,ik,il,im->klm", freqs, A, A, A)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _transform(Ainv, X):
-    return jnp.einsum("kj,psrj->psrk", Ainv, X, precision=_PP)
-
-
-def blo_supported(consts, num_sites: int) -> bool:
-    return (int(consts.A.shape[0]) == K
+def blo_supported(consts, width: int, sliding: bool = True) -> bool:
+    return (sliding
+            and int(consts.A.shape[0]) == K
             and int(consts.rates.shape[0]) == R
             and float(consts.pinv) == 0.0
-            and num_sites <= MAX_KERNEL_SITES
+            and width <= MAX_KERNEL_SITES
             and consts.A.dtype == jnp.float32)
 
 
-def blo_optimize_batch_pallas(consts, U, lsU, V, lsV, qclv, site_mask,
-                              orig_len, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("max_smoothings", "interpret"))
+def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
+                              inv_logfreq=None,
+                              max_smoothings: int = SMOOTHINGS,
+                              interpret: bool = False):
     """Drop-in (sliding-mode, DNA, pinv=0) replacement for
-    ops.newton.blo_optimize_batch. Inputs as there: U,V [P,S,R,K];
-    qclv [P,S,K]; site_mask [P,S]; orig_len [P]."""
-    P, S, R_, K_ = U.shape
-    assert R_ == R and K_ == K
-    dtype = U.dtype
+    ops.newton.blo_optimize_batch. Inputs as there: tU, tV [B, R*K, W]
+    pre-transformed windows; tQ [B, K, W]; ls, site_mask [B, W];
+    orig_len [B]. ``inv_logfreq`` is accepted for signature parity and must
+    be all -inf (pinv == 0)."""
+    B, RK_, W = tU.shape
+    assert RK_ == RK
+    dtype = tU.dtype
 
-    n_blocks = -(-P // PB)
+    n_blocks = -(-B // PB)
     NP = n_blocks * PB
 
     def pad(x):
-        if NP == P:
+        if NP == B:
             return x
-        widths = [(0, NP - P)] + [(0, 0)] * (x.ndim - 1)
+        widths = [(0, NP - B)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, mode="edge")
 
-    # fold per-(site,rate) scales into V with a per-site max-shift
-    lsr = pad(lsU) + pad(lsV)                     # [NP,S,R]
-    ls = jnp.max(lsr, axis=-1)                    # [NP,S]
-    Vs = pad(V) * jnp.exp(lsr - ls[..., None])[..., None]
-    tU = _transform(consts.Ainv, pad(U))          # [NP,S,R,K]
-    tV = _transform(consts.Ainv, Vs)
-    tQ = jnp.einsum("kj,psj->psk", consts.Ainv, pad(qclv), precision=_PP)
-
-    # layout: [RK, S, NP] / [K, S, NP]
-    tU = tU.reshape(NP, S, RK).transpose(2, 1, 0)
-    tV = tV.reshape(NP, S, RK).transpose(2, 1, 0)
-    tQ = tQ.transpose(2, 1, 0)
-    mask = pad(site_mask).transpose(1, 0)         # [S, NP]
+    # kernel layout: pairs on lanes
+    tUk = pad(tU).transpose(1, 2, 0)              # [RK, W, NP]
+    tVk = pad(tV).transpose(1, 2, 0)
+    tQk = pad(tQ).transpose(1, 2, 0)              # [K, W, NP]
+    maskk = pad(site_mask).transpose(1, 0)        # [W, NP]
     orig = pad(orig_len)[None, :]                 # [1, NP]
 
-    x_rk = (np.asarray(consts.eigenvals)[None, :]
-            * np.asarray(consts.rates)[:, None]).reshape(RK, 1)
-    G = _g_tensor(np.asarray(consts.A), np.asarray(consts.freqs))
-    wG = np.zeros((RK, K * K))
-    w = np.asarray(consts.weights)
-    for r in range(R):
-        for k3 in range(K):
-            wG[r * K + k3] = (w[r] * G[:, :, k3]).reshape(-1)
+    x_rk = (consts.eigenvals[None, :]
+            * consts.rates[:, None]).reshape(RK, 1)
+    # G[k1,k2,k3] = sum_i pi_i A_ik1 A_ik2 A_ik3
+    G = jnp.einsum("i,ik,il,im->klm", consts.freqs, consts.A, consts.A,
+                   consts.A)
+    # wG laid out [r*K + k3, k1*K + k2]
+    wG = (consts.weights[:, None, None, None]
+          * G.transpose(2, 0, 1)[None]).reshape(RK, K * K)
 
     grid = (n_blocks,)
-    spec3 = lambda d0: pl.BlockSpec((d0, S, PB), lambda p: (0, 0, p),
+    spec3 = lambda d0: pl.BlockSpec((d0, W, PB), lambda p: (0, 0, p),
                                     memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, PB), lambda p: (0, p),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((1, NP), dtype)
 
-    logl, pendant, distal, proximal = pl.pallas_call(
-        _blo_kernel,
+    logl, pendant, distal, proximal, done = pl.pallas_call(
+        functools.partial(_blo_kernel, max_smoothings=max_smoothings),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # xrk
             pl.BlockSpec(memory_space=pltpu.SMEM),     # wG
             spec3(RK), spec3(RK),                      # tU, tV
-            pl.BlockSpec((K, S, PB), lambda p: (0, 0, p),
+            pl.BlockSpec((K, W, PB), lambda p: (0, 0, p),
                          memory_space=pltpu.VMEM),     # tQ
-            pl.BlockSpec((S, PB), lambda p: (0, p),
+            pl.BlockSpec((W, PB), lambda p: (0, p),
                          memory_space=pltpu.VMEM),     # mask
             out_spec,                                  # orig
         ],
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
-        out_shape=(out_shape, out_shape, out_shape, out_shape),
+        out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape, out_shape, out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(x_rk, dtype), jnp.asarray(wG, dtype), tU, tV, tQ, mask,
+    )(jnp.asarray(x_rk, dtype), jnp.asarray(wG, dtype), tUk, tVk, tQk, maskk,
       orig)
 
-    ls_sum = jnp.sum(pad(site_mask) * ls, axis=1)  # [NP]
-    logl = logl[0, :P] + ls_sum[:P]
-    pendant = pendant[0, :P]
-    distal = distal[0, :P]
-    proximal = proximal[0, :P]
+    # the kernel scores in scaled space; add back the per-pair log-scale sum
+    ls_sum = jnp.sum(site_mask * ls, axis=1)       # [B]
+    logl = logl[0, :B] + ls_sum
+    pendant = pendant[0, :B]
+    distal = distal[0, :B]
+    proximal = proximal[0, :B]
+    done_b = done[0, :B] > 0
     distal_rep = (orig_len / (distal + proximal)) * distal
-    return logl, pendant, distal_rep, distal, proximal
+    return logl, pendant, distal_rep, distal, proximal, done_b

@@ -18,7 +18,9 @@ gathers cross the ``ep`` axis).
 The fully-jitted :func:`placement_step` is the engine's hot loop as ONE
 XLA computation (preplace -> top-k select -> batched Newton -> LWR); the
 host engine uses it chunk by chunk, and the driver's multi-chip dryrun
-compiles it over an N-device mesh.
+compiles it over an N-device mesh. On a single TPU chip the Newton stage
+dispatches to the VMEM-resident Pallas kernel (``use_pallas=True``); the
+sharded/CPU/AA/p-inv paths use the XLA kernel.
 """
 
 from __future__ import annotations
@@ -48,16 +50,21 @@ def make_mesh(n_dp: int, n_ep: int, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("dp", "ep"))
 
 
-@partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed"))
-def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
-                   codes, begins, spans, qclv, invq, prescoring_threshold,
+@partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed",
+                                   "use_pallas"))
+def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
+                   codes, begins, spans, tQ, invq, prescoring_threshold,
                    topk: int = 8, sliding: bool = True,
-                   site_width: int | None = None, packed: bool = False):
+                   site_width: int | None = None, packed: bool = False,
+                   use_pallas: bool = False):
     """One fused placement step over a query chunk.
 
-    table: [E,S,C]; U,V: [E,S,R,K]; codes: [Q,S]; qclv: [Q,S,K];
-    invq: [Q,S] p-inv log term. Returns per query the top-k candidate
-    (edges, logl, lwr, pendant, distal, valid-mask), all [Q,topk].
+    table: [E,C,S] preplacement lookup; tU, tV: [E,RK,S] eigen-transformed
+    edge CLVs with combined log-scale ls: [E,S] (newton.transform_edges);
+    codes: [Q,S]; tQ: [Q,K,S] eigen-transformed query tips
+    (newton.transform_queries); invq: [Q,S] p-inv log term. Returns per
+    query the top-k candidate (edges, logl, lwr, pendant, distal,
+    valid-mask), all [Q,topk].
 
     ``site_width``: static window width (>= every query's valid-range span)
     for the thorough stage; the Newton batch then computes only a
@@ -65,18 +72,19 @@ def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
     premasking payoff. None = full width.
     """
     dtype = table.dtype
-    E, S, C = table.shape
+    E, C, S = table.shape
 
     # --- preplacement scores: masked one-hot MXU contraction
     # (precision-split like ops.lookup.preplace_scores)
-    onehot = jax.nn.one_hot(codes, C, dtype=dtype)
+    onehot = (codes[:, None, :] == jnp.arange(C)[None, :, None])
+    onehot = onehot.astype(dtype)
     site = jnp.arange(S)
     in_range = ((site[None, :] >= begins[:, None])
                 & (site[None, :] < (begins + spans)[:, None]))
     in_range_f = in_range.astype(dtype)
-    onehot = onehot * in_range_f[..., None]
-    mean = jnp.mean(table, axis=2)
-    scores = (jnp.einsum("qsc,esc->qe", onehot, table - mean[..., None],
+    onehot = onehot * in_range_f[:, None, :]
+    mean = jnp.mean(table, axis=1)
+    scores = (jnp.einsum("qcs,ecs->qe", onehot, table - mean[:, None, :],
                          preferred_element_type=dtype)
               + jnp.einsum("qs,es->qe", in_range_f, mean,
                            preferred_element_type=dtype, precision=_PP))
@@ -92,7 +100,8 @@ def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
     # --- thorough placement on all (query, top-k edge) pairs
     Q = codes.shape[0]
     flat_e = top_edges.reshape(-1)
-    R, K = U.shape[2], U.shape[3]
+    RK = tU.shape[1]
+    Kst = tQ.shape[1]
     W = S if site_width is None else min(site_width, S)
     win_begin = jnp.minimum(begins, S - W)
     local_begin = begins - win_begin
@@ -100,24 +109,29 @@ def placement_step(consts: newton.EigConsts, table, U, lsU, V, lsV, lengths,
     def pair(qi, e):
         b = win_begin[qi].astype(jnp.int32)
         zero = jnp.zeros((), jnp.int32)
-        u = jax.lax.dynamic_slice(U[e], (b, zero, zero), (W, R, K))
-        lu = jax.lax.dynamic_slice(lsU[e], (b, zero), (W, R))
-        v = jax.lax.dynamic_slice(V[e], (b, zero, zero), (W, R, K))
-        lv = jax.lax.dynamic_slice(lsV[e], (b, zero), (W, R))
-        qc = jax.lax.dynamic_slice(qclv[qi], (b, zero), (W, K))
+        tu = jax.lax.dynamic_slice(tU[e], (zero, b), (RK, W))
+        tv = jax.lax.dynamic_slice(tV[e], (zero, b), (RK, W))
+        tq = jax.lax.dynamic_slice(tQ[qi], (zero, b), (Kst, W))
+        l = jax.lax.dynamic_slice(ls[e], (b,), (W,))
         iv = jax.lax.dynamic_slice(invq[qi], (b,), (W,))
         wsite = jnp.arange(W)
         m = ((wsite >= local_begin[qi])
              & (wsite < local_begin[qi] + spans[qi])).astype(dtype)
-        return (u, lu, v, lv, qc, m, lengths[e], iv)
+        return (tu, tv, tq, l, m, lengths[e], iv)
 
     q_ids = jnp.repeat(jnp.arange(Q), topk)
     args = jax.vmap(pair)(q_ids, flat_e)
     # materialize the gathered pair tensors once; otherwise XLA fuses the
     # edge gathers into every consumer inside the Newton loops
     args = jax.lax.optimization_barrier(args)
-    logl, pendant, distal_rep, _, _, _ = newton.blo_optimize_batch(
-        consts, *args, sliding=sliding)
+    if use_pallas:
+        from epa_ng_tpu.ops.pallas_blo import blo_optimize_batch_pallas
+        tu, tv, tq, l, m, olen, iv = args
+        logl, pendant, distal_rep, _, _, _ = blo_optimize_batch_pallas(
+            consts, tu, tv, tq, l, m, olen, iv)
+    else:
+        logl, pendant, distal_rep, _, _, _ = newton.blo_optimize_batch(
+            consts, *args, sliding=sliding)
 
     logl = logl.reshape(Q, topk)
     pendant = pendant.reshape(Q, topk)
@@ -148,9 +162,9 @@ class ShardedPlacement:
 
         edge_sh = NamedSharding(mesh, P("ep"))
         repl = NamedSharding(mesh, P())
-        et = engine.edges
+        blo = engine.blo
         n_ep = mesh.shape["ep"]
-        E = et.U.shape[0]
+        E = blo.tU.shape[0]
         pad = (-E) % n_ep  # the edge count (2T-3) is odd; pad for sharding
 
         def pad_e(x, fill=None):
@@ -168,24 +182,23 @@ class ShardedPlacement:
         # to -inf (which would poison the precision-split mean with NaN).
         table = pad_e(table, fill=jnp.asarray(-1e30, table.dtype))
         self.table = jax.device_put(table, edge_sh)
-        self.U = jax.device_put(pad_e(et.U), edge_sh)
-        self.V = jax.device_put(pad_e(et.V), edge_sh)
-        self.lsU = jax.device_put(pad_e(et.lsU), edge_sh)
-        self.lsV = jax.device_put(pad_e(et.lsV), edge_sh)
-        self.lengths = jax.device_put(pad_e(et.lengths), edge_sh)
+        self.tU = jax.device_put(pad_e(blo.tU), edge_sh)
+        self.tV = jax.device_put(pad_e(blo.tV), edge_sh)
+        self.ls = jax.device_put(pad_e(blo.ls), edge_sh)
+        self.lengths = jax.device_put(pad_e(blo.lengths), edge_sh)
         self.consts = jax.device_put(engine.consts, repl)
         self.qspec = NamedSharding(mesh, P("dp"))
 
-    def step(self, codes, begins, spans, qclv, invq):
+    def step(self, codes, begins, spans, tQ, invq):
         put = partial(jax.device_put, device=self.qspec)
         return placement_step(
-            self.consts, self.table, self.U, self.lsU, self.V, self.lsV,
-            self.lengths, put(codes), put(begins), put(spans), put(qclv),
+            self.consts, self.table, self.tU, self.tV, self.ls,
+            self.lengths, put(codes), put(begins), put(spans), put(tQ),
             put(invq),
             jnp.asarray(self.engine.options.prescoring_threshold,
                         self.table.dtype),
             topk=self.topk, sliding=self.engine.options.sliding_blo,
-            site_width=chunk_site_width(spans, self.U.shape[1]))
+            site_width=chunk_site_width(spans, self.tU.shape[2]))
 
 
 def chunk_site_width(spans, num_sites: int) -> int:

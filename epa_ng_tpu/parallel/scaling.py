@@ -40,12 +40,9 @@ def measure(n_devices: int | None = None, n_taxa=256, sites=256,
         "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}")
     engine = PlacementEngine(tree, ref, model, Options(compute_dtype=dtype))
     codes, qmasks, ranges = engine._encode_chunk(qry)
-    nbits = model.num_states
-    bits = (qmasks[:, :, None] >> np.arange(nbits)[None, None, :]) & 1
-    qclv = jnp.asarray(bits, engine.dtype)
-    invq = jnp.asarray(engine._inv_logfreq_queries(qmasks), engine.dtype)
+    tQ, invq = engine._query_tensors(qmasks)
     args = (jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
-            jnp.asarray(ranges[:, 1]), qclv, invq)
+            jnp.asarray(ranges[:, 1]), tQ, invq)
     W = chunk_site_width(ranges[:, 1], sites)
 
     def timeit(fn, reps=5):
@@ -57,11 +54,12 @@ def measure(n_devices: int | None = None, n_taxa=256, sites=256,
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps
 
-    et = engine.edges
+    blo = engine.blo
     thresh = jnp.asarray(engine.options.prescoring_threshold, engine.dtype)
     t1 = timeit(lambda: placement_step(
-        engine.consts, engine.lookup_table, et.U, et.lsU, et.V, et.lsV,
-        et.lengths, *args, thresh, topk=topk, sliding=True, site_width=W))
+        engine.consts, engine.lookup_table, blo.tU, blo.tV, blo.ls,
+        blo.lengths, *args, thresh, topk=topk, sliding=True, site_width=W,
+        use_pallas=engine._use_pallas(W)))
     qps1 = n_queries / t1
 
     result = {"metric": "scaling_efficiency", "devices": n,

@@ -58,3 +58,4 @@ class Options:
     max_newton_iters: int = 30  # inner NR iterations (reference: optimize.cpp:62)
     blo_block: int = 4096  # padded batch size for vmapped Newton BLO
     fused_topk: int = 8  # candidate budget of the fused fast path
+    pallas: str = "auto"  # "auto" | "on" | "off": Pallas Newton kernel use

@@ -28,18 +28,16 @@ def test_1024_taxa_edge_sharded():
     engine = PlacementEngine(tree, ref, model,
                              Options(compute_dtype="f64"))
     codes, qmasks, ranges = engine._encode_chunk(qry)
-    bits = (qmasks[:, :, None] >> np.arange(4)[None, None, :]) & 1
-    qclv = jnp.asarray(bits, engine.dtype)
-    invq = jnp.asarray(engine._inv_logfreq_queries(qmasks), engine.dtype)
+    tQ, invq = engine._query_tensors(qmasks)
     args = (jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
-            jnp.asarray(ranges[:, 1]), qclv, invq)
+            jnp.asarray(ranges[:, 1]), tQ, invq)
 
-    et = engine.edges
+    blo = engine.blo
     thresh = jnp.asarray(0.99999, engine.dtype)
     W = chunk_site_width(ranges[:, 1], 48)
     single = placement_step(
-        engine.consts, engine.lookup_table, et.U, et.lsU, et.V, et.lsV,
-        et.lengths, *args, thresh, topk=4, sliding=True, site_width=W)
+        engine.consts, engine.lookup_table, blo.tU, blo.tV, blo.ls,
+        blo.lengths, *args, thresh, topk=4, sliding=True, site_width=W)
 
     mesh = make_mesh(2, 4)  # 4-way edge sharding
     sharded = ShardedPlacement(engine, mesh, topk=4).step(*args)

@@ -1,9 +1,9 @@
 """Pallas BLO kernel: interpret-mode equality against the XLA path.
 
-The kernel is experimental (not wired into the engine): correct on TPU but
-currently much slower than the XLA path — kept for further VMEM-blocking
-work. This test pins its numerical behavior on CPU via the Pallas
-interpreter.
+On a real TPU the kernel is the engine's default Newton dispatch (VMEM-
+resident working set); this test pins its numerical behavior on CPU via the
+Pallas interpreter against the XLA fallback, on the same pre-transformed
+windows both consume in production.
 """
 
 import numpy as np
@@ -24,23 +24,21 @@ def test_pallas_blo_matches_xla_interpret():
         "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}")
     eng = PlacementEngine(tree, ref, model, Options(compute_dtype="f32"))
     assert blo_supported(eng.consts, 96)
-    et = eng.edges
+    blo = eng.blo
     codes, qmasks, ranges = eng._encode_chunk(qry)
-    bits = (qmasks[:, :, None] >> np.arange(4)[None, None, :]) & 1
-    qclv = jnp.asarray(bits, jnp.float32)
+    tQ, invq = eng._query_tensors(qmasks)
     site = np.arange(96)
     sm = jnp.asarray(((site[None, :] >= ranges[:, :1])
                       & (site[None, :] < ranges[:, :1] + ranges[:, 1:2])),
                      jnp.float32)
-    invq = jnp.full((16, 96), -np.inf, jnp.float32)
     rng = np.random.default_rng(1)
     P = 40
     pe = jnp.asarray(rng.integers(0, eng.num_edges, P, dtype=np.int32))
     pq = jnp.asarray(rng.integers(0, 16, P, dtype=np.int32))
 
-    args = (eng.consts, et.U[pe], et.lsU[pe], et.V[pe], et.lsV[pe],
-            qclv[pq], sm[pq], et.lengths[pe])
-    ref_out = newton.blo_optimize_batch(*args, invq[pq], sliding=True)
+    args = (eng.consts, blo.tU[pe], blo.tV[pe], tQ[pq], blo.ls[pe],
+            sm[pq], blo.lengths[pe], invq[pq])
+    ref_out = newton.blo_optimize_batch(*args, sliding=True)
     pal_out = blo_optimize_batch_pallas(*args, interpret=True)
 
     logl_diff = np.abs(np.asarray(ref_out[0]) - np.asarray(pal_out[0]))
@@ -51,3 +49,5 @@ def test_pallas_blo_matches_xla_interpret():
     dd = np.abs(np.asarray(ref_out[2]) - np.asarray(pal_out[2]))[sharp]
     assert pd.max() < 0.05
     assert dd.max() < 0.05
+    # done flags: the pallas kernel reports per-pair convergence too
+    assert np.asarray(pal_out[5]).dtype == np.bool_

@@ -26,19 +26,17 @@ def setup():
     engine = PlacementEngine(tree, ref, model,
                              Options(compute_dtype="f64", blo_block=64))
     codes, qmasks, ranges = engine._encode_chunk(qry)
-    bits = (qmasks[:, :, None] >> np.arange(4)[None, None, :]) & 1
-    qclv = jnp.asarray(bits, engine.dtype)
-    invq = jnp.asarray(engine._inv_logfreq_queries(qmasks), engine.dtype)
+    tQ, invq = engine._query_tensors(qmasks)
     args = (jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
-            jnp.asarray(ranges[:, 1]), qclv, invq)
+            jnp.asarray(ranges[:, 1]), tQ, invq)
     return engine, args
 
 
 def _single_device(engine, args):
-    et = engine.edges
+    blo = engine.blo
     return placement_step(
-        engine.consts, engine.lookup_table, et.U, et.lsU, et.V, et.lsV,
-        et.lengths, *args,
+        engine.consts, engine.lookup_table, blo.tU, blo.tV, blo.ls,
+        blo.lengths, *args,
         jnp.asarray(engine.options.prescoring_threshold, engine.dtype),
         topk=4, sliding=True)
 
