@@ -340,17 +340,23 @@ def main(argv=None) -> int:
     # thread (the analog of the reference's __PREFETCH overlap)
     from epa_ng_tpu.core.pipeline import StreamingPipeline
 
-    progress = {"done": 0}
+    progress = {"done": 0, "reads": 0}
 
     def read_chunk():
         chunk = reader.read_next(options.chunk_size)
-        return chunk if len(chunk) else None
+        if not len(chunk):
+            return None
+        # collapse duplicate reads: place once, report every name
+        # (reference: src/set_manipulators.cpp:208-226); a big win on
+        # metagenomic data where identical short reads are common
+        return fio.find_collapse_equal_sequences(chunk)
 
     def compute(chunk, index):
         offset = progress["done"] + reader.local_seq_offset
         pqueries = engine.place_chunk(chunk, seq_id_offset=offset)
         progress["done"] += len(chunk)
-        log.info("%d Sequences done!", progress["done"])
+        progress["reads"] += sum(len(s.headers) for s in chunk)
+        log.info("%d Sequences done!", progress["reads"])
         return pqueries
 
     def write(pqueries):

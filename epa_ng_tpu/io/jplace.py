@@ -88,7 +88,7 @@ class JplaceWriter:
                 out.append("\n")
             out.append("      ],\n")
             out.append('    "n": [')
-            out.append(f'"{pq.headers[0]}"')
+            out.append(", ".join(f'"{h}"' for h in pq.headers))
             out.append("]\n")
             out.append("    }")
             if qi + 1 < len(pqueries):

@@ -106,3 +106,26 @@ def test_bfast_convert_and_place(tmp_path):
     assert rc == 0
     doc = json.load(open(out + "epa_result.jplace"))
     assert sorted(p["n"][0] for p in doc["placements"]) == ["Carp", "Rat"]
+
+
+def test_collapsed_duplicates_emit_all_names(tmp_path):
+    """Duplicate query reads are placed once and every name appears in
+    the jplace output (reference: src/set_manipulators.cpp:208-226)."""
+    src = open(f"{D}/query.fasta").read()
+    recs = [r for r in src.strip().split(">") if r.strip()]
+    lines_out = []
+    for r in recs:
+        lines = r.strip().split("\n")
+        lines_out.append(">" + lines[0] + "\n" + "\n".join(lines[1:]))
+        lines_out.append(">" + lines[0] + "_dup\n" + "\n".join(lines[1:]))
+    qpath = tmp_path / "qdup.fasta"
+    qpath.write_text("\n".join(lines_out) + "\n")
+
+    out = str(tmp_path) + "/"
+    rc = run(["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+              "-q", str(qpath), "-m", "GTR+G", "-w", out, "--redo"])
+    assert rc == 0
+    doc = json.load(open(out + "epa_result.jplace"))
+    names = {tuple(p["n"]) for p in doc["placements"]}
+    assert ("Rat", "Rat_dup") in names
+    assert ("Carp", "Carp_dup") in names

@@ -133,3 +133,4 @@ def test_shard_merge(tmp_path):
     merge_jplace_shards(str(tmp_path), "out.jplace", 3, "(A:1.0{0});", "inv")
     doc = json.loads(open(tmp_path / "out.jplace").read())
     assert [p["n"][0] for p in doc["placements"]] == ["rank0", "rank1", "rank2"]
+
