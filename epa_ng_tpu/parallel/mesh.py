@@ -51,12 +51,13 @@ def make_mesh(n_dp: int, n_ep: int, devices=None) -> Mesh:
 
 
 @partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed",
-                                   "use_pallas"))
+                                   "use_pallas", "block_width"))
 def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                    codes, begins, spans, tQ, invq, prescoring_threshold,
                    topk: int = 8, sliding: bool = True,
                    site_width: int | None = None, packed: bool = False,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, block_offs=None,
+                   block_width: int | None = None):
     """One fused placement step over a query chunk.
 
     table: [E,C,S] preplacement lookup; tU, tV: [E,RK,S] eigen-transformed
@@ -102,6 +103,46 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     flat_e = top_edges.reshape(-1)
     RK = tU.shape[1]
     Kst = tQ.shape[1]
+
+    if use_pallas and block_offs is not None:
+        # blocked-window path: fast full-row gathers; each Pallas
+        # pair-block DMAs only its own site window (queries must arrive
+        # sorted by range begin — ops.pallas_blo.plan_blocks)
+        from epa_ng_tpu.ops.pallas_blo import (
+            PB, blo_optimize_batch_pallas_blocked)
+        B = Q * topk
+        NP = block_offs.shape[0] * PB
+        q_ids = jnp.repeat(jnp.arange(Q), topk)
+        if NP > B:
+            flat_e_p = jnp.concatenate(
+                [flat_e, jnp.repeat(flat_e[-1:], NP - B)])
+            q_ids_p = jnp.concatenate(
+                [q_ids, jnp.repeat(q_ids[-1:], NP - B)])
+        else:
+            flat_e_p, q_ids_p = flat_e, q_ids
+        tUg = tU[flat_e_p]
+        tVg = tV[flat_e_p]
+        tQg = tQ[q_ids_p]
+        pb = begins[q_ids_p]
+        pe = pb + spans[q_ids_p]
+        fullmask = ((site[None, :] >= pb[:, None])
+                    & (site[None, :] < pe[:, None])).astype(dtype)
+        ls_sum = jnp.sum(fullmask * ls[flat_e_p], axis=1)
+        local = pb - jnp.repeat(block_offs, PB)
+        wsite = jnp.arange(block_width)
+        bmask = ((wsite[None, :] >= local[:, None])
+                 & (wsite[None, :] < (local + spans[q_ids_p])[:, None]))
+        logl, pendant, distal_rep, _, _, _ = (
+            blo_optimize_batch_pallas_blocked(
+                consts, tUg, tVg, tQg, bmask.astype(dtype),
+                lengths[flat_e_p], block_offs, ls_sum,
+                block_width=block_width))
+        logl = logl[:B].reshape(Q, topk)
+        pendant = pendant[:B].reshape(Q, topk)
+        distal = distal_rep[:B].reshape(Q, topk)
+        return _step_epilogue(top_edges, logl, pendant, distal, valid,
+                              dtype, packed)
+
     W = S if site_width is None else min(site_width, S)
     win_begin = jnp.minimum(begins, S - W)
     local_begin = begins - win_begin
@@ -136,7 +177,12 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     logl = logl.reshape(Q, topk)
     pendant = pendant.reshape(Q, topk)
     distal = distal_rep.reshape(Q, topk)
+    return _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
+                          packed)
 
+
+def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
+                   packed: bool):
     # --- LWR over the valid candidates
     neg_inf = jnp.asarray(-jnp.inf, dtype)
     masked_logl = jnp.where(valid, logl, neg_inf)

@@ -51,3 +51,68 @@ def test_pallas_blo_matches_xla_interpret():
     assert dd.max() < 0.05
     # done flags: the pallas kernel reports per-pair convergence too
     assert np.asarray(pal_out[5]).dtype == np.bool_
+
+
+def test_pallas_blocked_matches_plain_interpret():
+    """The blocked-window variant (full-row gathers + per-block site-window
+    DMA, ops.pallas_blo.blo_optimize_batch_pallas_blocked) must match the
+    per-pair windowed kernel on the same pairs."""
+    from epa_ng_tpu.ops.pallas_blo import (PB, blo_optimize_batch_pallas_blocked,
+                                           plan_blocks)
+
+    tree, ref, qry = synth_dataset(n_taxa=24, sites=200, n_queries=16, seed=9)
+    model = Model.from_string(
+        "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}")
+    eng = PlacementEngine(tree, ref, model, Options(compute_dtype="f32"))
+    blo = eng.blo
+    codes, qmasks, ranges = eng._encode_chunk(qry)
+    perm = np.argsort(ranges[:, 0], kind="stable")
+    codes, qmasks, ranges = codes[perm], qmasks[perm], ranges[perm]
+    tQ, invq = eng._query_tensors(qmasks)
+    S = 200
+    topk = 8
+    begins = ranges[:, 0].astype(np.int32)
+    spans = ranges[:, 1].astype(np.int32)
+    offs, Wb, NP = plan_blocks(begins, spans, S, topk)
+    rng = np.random.default_rng(3)
+    Q = 16
+    pair_q = np.repeat(np.arange(Q), topk)
+    pair_e = rng.integers(0, eng.num_edges, Q * topk, dtype=np.int32)
+    pair_q = np.concatenate([pair_q, np.repeat(pair_q[-1:], NP - Q * topk)])
+    pair_e = np.concatenate([pair_e, np.repeat(pair_e[-1:], NP - Q * topk)])
+
+    offs_pair = np.repeat(offs, PB)
+    local = begins[pair_q] - offs_pair
+    site = np.arange(Wb)
+    mask = ((site[None, :] >= local[:, None])
+            & (site[None, :] < (local + spans[pair_q])[:, None]))
+    fsite = np.arange(S)
+    fullmask = ((fsite[None, :] >= begins[pair_q][:, None])
+                & (fsite[None, :] < (begins + spans)[pair_q][:, None]))
+    e_j, q_j = jnp.asarray(pair_e), jnp.asarray(pair_q)
+    ls_sum = jnp.sum(jnp.asarray(fullmask, jnp.float32) * blo.ls[e_j], axis=1)
+
+    blk = blo_optimize_batch_pallas_blocked(
+        eng.consts, blo.tU[e_j], blo.tV[e_j], tQ[q_j],
+        jnp.asarray(mask, jnp.float32), blo.lengths[e_j],
+        jnp.asarray(offs), ls_sum, block_width=Wb, interpret=True)
+
+    # per-pair windowed reference (plain kernel, interpret mode)
+    W = 256  # covers every span; pad the tensors to the window
+    padS = W - S
+    def padw(x):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, padS)])
+    smw = ((np.arange(W)[None, :] >= begins[pair_q][:, None])
+           & (np.arange(W)[None, :] < (begins + spans)[pair_q][:, None]))
+    plain = blo_optimize_batch_pallas(
+        eng.consts, padw(blo.tU)[e_j], padw(blo.tV)[e_j], padw(tQ)[q_j],
+        padw(blo.ls)[e_j], jnp.asarray(smw, jnp.float32), blo.lengths[e_j],
+        interpret=True)
+
+    logl_diff = np.abs(np.asarray(blk[0]) - np.asarray(plain[0]))
+    assert logl_diff.max() < 0.05, logl_diff.max()
+    pd = np.abs(np.asarray(blk[1]) - np.asarray(plain[1]))
+    dd = np.abs(np.asarray(blk[2]) - np.asarray(plain[2]))
+    sharp = logl_diff < 1e-3
+    assert pd[sharp].max() < 0.05
+    assert dd[sharp].max() < 0.05
