@@ -427,9 +427,43 @@ class PlacementEngine:
         out_pendant = np.zeros(P)
         out_distal = np.zeros(P)
 
-        def run(idx: np.ndarray, cap: int) -> np.ndarray:
-            """Optimize the given pair subset with a smoothing cap; fills
-            outputs, returns the per-pair converged flags."""
+        def run_blocked(idx: np.ndarray, cap: int) -> np.ndarray:
+            """Blocked-window Pallas path: pairs sorted by their query's
+            range begin, slabs of blk pairs, per-block site-window DMA."""
+            from epa_ng_tpu.ops.pallas_blo import plan_blocks_pairs
+            done_out = np.zeros(P, dtype=bool)
+            blk = 256
+            while blk < min(len(idx), block):
+                blk *= 2
+            order = idx[np.argsort(begins[pair_q[idx]], kind="stable")]
+            leftover = []
+            for start in range(0, len(order), blk):
+                sel = order[start:start + blk]
+                n = len(sel)
+                pad = np.concatenate([sel, np.repeat(sel[-1:], blk - n)])
+                pb = begins[pair_q[pad]].astype(np.int32)
+                pe = (begins + spans)[pair_q[pad]].astype(np.int32)
+                offs, Wb = plan_blocks_pairs(pb, pe, S)
+                if not self._use_pallas(Wb):
+                    leftover.append(sel)
+                    continue
+                logl, pendant, distal_rep, done = _blo_blocked(
+                    self.consts, blo.tU, blo.tV, blo.ls, blo.lengths,
+                    tQ, jnp.asarray(pair_e[pad]), jnp.asarray(pair_q[pad]),
+                    jnp.asarray(pb), jnp.asarray(spans[pair_q[pad]]),
+                    jnp.asarray(offs), Wb, cap)
+                out_logl[sel] = np.asarray(logl)[:n]
+                out_pendant[sel] = np.asarray(pendant)[:n]
+                out_distal[sel] = np.asarray(distal_rep)[:n]
+                done_out[sel] = np.asarray(done)[:n]
+            if leftover:
+                rest = np.concatenate(leftover)
+                done_out[rest] = run_bucketed(rest, cap)[rest]
+            return done_out
+
+        def run_bucketed(idx: np.ndarray, cap: int) -> np.ndarray:
+            """Width-bucketed per-pair windowed path (XLA Newton, or the
+            per-pair Pallas kernel when supported)."""
             done_out = np.zeros(P, dtype=bool)
             # adapt the block to the subset so small redo batches don't pad
             # to the full block (shapes stay cached: power-of-two sizes)
@@ -463,6 +497,13 @@ class PlacementEngine:
                     done_out[sel] = np.asarray(done)[:n]
             return done_out
 
+        def run(idx: np.ndarray, cap: int) -> np.ndarray:
+            """Optimize the given pair subset with a smoothing cap; fills
+            outputs, returns the per-pair converged flags."""
+            if opts.sliding_blo and self._use_pallas(128):
+                return run_blocked(idx, cap)
+            return run_bucketed(idx, cap)
+
         # two-phase convergence compaction: most pairs converge (or roll
         # back) within a couple of smoothings; run everything with a small
         # cap first, then only the unconverged tail with the full budget,
@@ -480,6 +521,32 @@ class PlacementEngine:
             raise RuntimeError(
                 f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
         return out_logl, out_pendant, out_distal
+
+
+@partial(jax.jit, static_argnames=("width", "max_smoothings"))
+def _blo_blocked(consts, tU, tV, ls, lengths, tQ, e_ids, q_ids,
+                 begins, spans, offs, width: int, max_smoothings: int):
+    """Blocked-window Pallas dispatch for an explicit pair list: fast
+    full-row gathers; each 128-pair block DMAs its own site window (see
+    ops.pallas_blo.blo_optimize_batch_pallas_blocked). pinv == 0 only
+    (guaranteed by PlacementEngine._use_pallas)."""
+    from epa_ng_tpu.ops.pallas_blo import PB, blo_optimize_batch_pallas_blocked
+    S = tU.shape[2]
+    dtype = tU.dtype
+    tUg, tVg, tQg = tU[e_ids], tV[e_ids], tQ[q_ids]
+    site = jnp.arange(S)
+    ends = begins + spans
+    fullmask = ((site[None, :] >= begins[:, None])
+                & (site[None, :] < ends[:, None])).astype(dtype)
+    ls_sum = jnp.sum(fullmask * ls[e_ids], axis=1)
+    local = begins - jnp.repeat(offs, PB)
+    wsite = jnp.arange(width)
+    bmask = ((wsite[None, :] >= local[:, None])
+             & (wsite[None, :] < (local + spans)[:, None])).astype(dtype)
+    logl, pendant, distal_rep, _, _, done = blo_optimize_batch_pallas_blocked(
+        consts, tUg, tVg, tQg, bmask, lengths[e_ids], offs, ls_sum,
+        block_width=width, max_smoothings=max_smoothings)
+    return logl, pendant, distal_rep, done
 
 
 @partial(jax.jit, static_argnames=("width", "sliding", "max_smoothings",

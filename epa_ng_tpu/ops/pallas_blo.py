@@ -439,10 +439,9 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
 def plan_blocks(begins: np.ndarray, spans: np.ndarray, num_sites: int,
                 topk: int):
     """Host-side planning for the blocked kernel: given PER-QUERY valid
-    ranges (already sorted by begin — see sort_by_begin), compute for each
-    PB-sized pair-block (pairs = queries x topk, query-major) the site
-    window offset, and the common block width Wb (multiple of 128)
-    covering every block's spread.
+    ranges (already sorted by begin), compute for each PB-sized pair-block
+    (pairs = queries x topk, query-major) the site window offset, and the
+    common block width Wb covering every block's spread.
 
     Returns (offs [n_blocks] int32, Wb int, NP int) where NP is the padded
     pair count (multiple of PB, padding replicates the last pair).
@@ -454,8 +453,19 @@ def plan_blocks(begins: np.ndarray, spans: np.ndarray, num_sites: int,
     pair_q = np.repeat(np.arange(Q), topk)
     pair_q = np.concatenate(
         [pair_q, np.repeat(pair_q[-1:], NP - B)])
-    pb = begins[pair_q].reshape(n_blocks, PB)
-    pe = (begins + spans)[pair_q].reshape(n_blocks, PB)
+    offs, Wb = plan_blocks_pairs(begins[pair_q], (begins + spans)[pair_q],
+                                 num_sites)
+    return offs, Wb, NP
+
+
+def plan_blocks_pairs(pair_begins: np.ndarray, pair_ends: np.ndarray,
+                      num_sites: int):
+    """plan_blocks for an explicit PER-PAIR begin/end list whose length is
+    already a multiple of PB. Returns (offs [n_blocks] int32, Wb int)."""
+    assert len(pair_begins) % PB == 0
+    n_blocks = len(pair_begins) // PB
+    pb = np.asarray(pair_begins).reshape(n_blocks, PB)
+    pe = np.asarray(pair_ends).reshape(n_blocks, PB)
     # offsets at sublane (8-element) granularity; width a multiple of 8.
     # Windows are planned against the 128-padded site count — the kernel
     # entry zero-pads the gathered tensors to match.
@@ -466,4 +476,4 @@ def plan_blocks(begins: np.ndarray, spans: np.ndarray, num_sites: int,
     if Wb > s_pad:
         Wb = s_pad
     offs = np.clip(offs, 0, s_pad - Wb).astype(np.int32)
-    return offs, int(Wb), NP
+    return offs, int(Wb)
