@@ -238,10 +238,21 @@ def main(argv=None) -> int:
     setup_logging(outdir, verbose=args.verbose, redo=args.redo)
     log.info(BANNER + f"(v{__version__})\n")
 
+    # persistent XLA compilation cache: repeat runs (and the many
+    # same-shaped steps within a run) skip the ~30s TPU compiles
+    import tempfile
+
+    import jax
+    if not os.environ.get("EPA_NG_TPU_NO_COMPILE_CACHE"):
+        cache_dir = os.environ.get(
+            "EPA_NG_TPU_COMPILE_CACHE",
+            os.path.join(tempfile.gettempdir(), "epa_ng_tpu_jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.compute_dtype is None:
         options.compute_dtype = _default_dtype()
     if options.compute_dtype == "f64":
-        import jax
         jax.config.update("jax_enable_x64", True)
 
     import numpy as np
@@ -352,15 +363,19 @@ def main(argv=None) -> int:
         return fio.find_collapse_equal_sequences(chunk)
 
     def compute(chunk, index):
+        # dispatch only: the device crunches this chunk while the writer
+        # thread syncs + assembles the previous one (finalize_chunk)
         offset = progress["done"] + reader.local_seq_offset
-        pqueries = engine.place_chunk(chunk, seq_id_offset=offset)
+        handle = engine.place_chunk_async(chunk, seq_id_offset=offset)
         progress["done"] += len(chunk)
-        progress["reads"] += sum(len(s.headers) for s in chunk)
-        log.info("%d Sequences done!", progress["reads"])
-        return pqueries
+        nreads = sum(len(s.headers) for s in chunk)
+        return handle, nreads
 
-    def write(pqueries):
-        writer.write(pqueries)
+    def write(item):
+        handle, nreads = item
+        writer.write(engine.finalize_chunk(handle))
+        progress["reads"] += nreads
+        log.info("%d Sequences done!", progress["reads"])
 
     pipeline = StreamingPipeline(read_chunk, compute, write)
     pipeline.run()

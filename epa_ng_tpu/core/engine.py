@@ -66,8 +66,6 @@ class PlacementEngine:
         self.consts = newton.eig_consts(self.eig, self.dtype)
 
         tip_clvs = clv_ops.tip_clv_matrix(tree, ref_msa, model.num_states)
-        self.edges = clv_ops.build_edge_tensors(tree, self.eig, tip_clvs,
-                                                dtype=self.dtype)
         self.num_sites = ref_msa.num_sites
         self.num_edges = tree.n_edges
 
@@ -80,7 +78,11 @@ class PlacementEngine:
                 inter &= row
             self._ref_intersection = inter  # [S] uint32
 
-        self._finish_init()
+        # edge tensors + reference logl in one jitted computation
+        self.edges, ref_logl = clv_ops.build_reference_state(
+            tree, self.eig, tip_clvs, dtype=self.dtype,
+            inv_logterm=self._inv_logterm_sites())
+        self._finish_init(ref_logl)
 
     @classmethod
     def from_precomputed(cls, tree: Tree, model: Model, options, edges,
@@ -101,10 +103,11 @@ class PlacementEngine:
         self._finish_init()
         return self
 
-    def _finish_init(self):
+    def _finish_init(self, ref_logl: Optional[float] = None):
         # sanity check: finite reference-tree log-likelihood
         # (reference: src/tree/Tree.cpp:49-53)
-        self.ref_tree_logl = float(self._reference_logl())
+        self.ref_tree_logl = (float(self._reference_logl())
+                              if ref_logl is None else ref_logl)
         if not np.isfinite(self.ref_tree_logl):
             raise RuntimeError("Tree Log-Likelihood -INF!")
         log.info("Reference tree log-likelihood: %.6f", self.ref_tree_logl)
@@ -118,16 +121,15 @@ class PlacementEngine:
     # ------------------------------------------------------------------
 
     def _reference_logl(self) -> float:
-        from epa_ng_tpu.ops import likelihood
         P = eigen.pmatrices(self.eig, self.tree.edge_lengths[:1],
                             dtype=self.dtype)
         inv = self._inv_logterm_sites()
         et = self.edges
-        return likelihood.edge_loglikelihood(
+        return _edge_logl_jit(
             et.U[0], et.lsU[0], et.V[0], et.lsV[0], P[0],
             jnp.asarray(self.eig.freqs, self.dtype),
             jnp.asarray(self.eig.weights, self.dtype),
-            pinv=self.model.pinv, inv_logterm=inv)
+            self.model.pinv, inv)
 
     def _inv_logterm_sites(self):
         """[S] log(p*pi) for ref-tree invariant sites, or None."""
@@ -260,19 +262,48 @@ class PlacementEngine:
         accumulated-LWR cut wanted more edges) fall back to the exact
         host-orchestrated path.
         """
+        return self.finalize_chunk(self.place_chunk_async(chunk,
+                                                          seq_id_offset))
+
+    def place_chunk_async(self, chunk: MSA, seq_id_offset: int = 0):
+        """Encode + dispatch the fused placement step WITHOUT syncing;
+        returns a pending handle for finalize_chunk. The streaming
+        pipeline dispatches chunk N+1 while chunk N's results transfer
+        and assemble (device/host overlap, the TPU analog of the
+        reference's __PREFETCH threads)."""
         opts = self.options
         codes, qmasks, ranges = self._encode_chunk(chunk)
-        Q = len(chunk)
 
         fused_ok = (opts.prescoring and not opts.prescoring_by_percentage
                     and not opts.baseball
                     and opts.fused_topk < self.num_edges)
         if fused_ok:
-            result = self._place_chunk_fused(chunk, codes, qmasks, ranges,
-                                             seq_id_offset)
+            state = self._dispatch_chunk_fused(chunk, codes, qmasks, ranges,
+                                               seq_id_offset)
+            return ("fused", state)
+        return ("exact", (chunk, codes, qmasks, ranges, seq_id_offset))
+
+    def finalize_chunk(self, handle) -> list:
+        """Sync + assemble a pending chunk from place_chunk_async."""
+        kind, state = handle
+        if kind == "fused":
+            result = self._finalize_chunk_fused(state)
             if result is not None:
                 return result
+            # >20% of queries saturated the top-k budget: whole chunk
+            # falls back to the exact path
+            chunk, codes, qmasks, ranges, seq_id_offset = (
+                state["chunk"], state["raw_codes"], state["raw_qmasks"],
+                state["raw_ranges"], state["seq_id_offset"])
+        else:
+            chunk, codes, qmasks, ranges, seq_id_offset = state
+        return self._place_chunk_exact(chunk, codes, qmasks, ranges,
+                                       seq_id_offset)
 
+    def _place_chunk_exact(self, chunk, codes, qmasks, ranges,
+                           seq_id_offset) -> list:
+        opts = self.options
+        Q = len(chunk)
         if opts.prescoring:
             scores = self.preplace(codes, ranges)
             pair_e, pair_q = heuristics.select_work(scores, opts)
@@ -300,18 +331,33 @@ class PlacementEngine:
         filter_pqueries(pqueries, opts)
         return pqueries
 
-    def _place_chunk_fused(self, chunk, codes, qmasks, ranges,
-                           seq_id_offset):
-        """Fused-step fast path; returns None when >20% of queries
-        saturate the top-k budget (whole chunk falls back)."""
+    def _dispatch_chunk_fused(self, chunk, codes, qmasks, ranges,
+                              seq_id_offset):
+        """Fused-step fast path, dispatch half: encode-sort-pad, enqueue
+        the jitted placement step, return the pending state dict."""
         from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
         opts = self.options
         S = self.num_sites
+        raw_codes, raw_qmasks, raw_ranges = codes, qmasks, ranges
         # sort queries by valid-range begin: pair-blocks of the blocked
         # Pallas kernel then cover tight site windows (the TPU answer to
         # shift_partition_focus, src/core/pll/pll_util.cpp:388-418)
         perm = np.argsort(ranges[:, 0], kind="stable")
         codes, qmasks, ranges = codes[perm], qmasks[perm], ranges[perm]
+        # pad the query count to a power-of-two bucket (capped at the
+        # configured chunk size): Q is a traced shape in placement_step, and
+        # duplicate-collapsing makes the raw count differ on every chunk —
+        # without bucketing each distinct count pays a fresh ~30s compile
+        Qr = len(chunk)
+        Qp = 64
+        while Qp < Qr:
+            Qp *= 2
+        Qp = max(Qr, min(Qp, opts.chunk_size))
+        if Qp > Qr:
+            pad = Qp - Qr
+            codes = np.concatenate([codes, np.repeat(codes[-1:], pad, 0)])
+            qmasks = np.concatenate([qmasks, np.repeat(qmasks[-1:], pad, 0)])
+            ranges = np.concatenate([ranges, np.repeat(ranges[-1:], pad, 0)])
         tQ, invq = self._query_tensors(qmasks)
         blo = self.blo
         topk = min(opts.fused_topk, self.num_edges)
@@ -334,14 +380,32 @@ class PlacementEngine:
             topk=topk, sliding=opts.sliding_blo,
             site_width=W, packed=True, use_pallas=self._use_pallas(W),
             block_offs=block_offs, block_width=Wb)
-        out = np.asarray(out)  # single device->host transfer
+        return {
+            "chunk": chunk, "out": out, "perm": perm, "Qr": Qr,
+            "codes": codes, "qmasks": qmasks, "ranges": ranges,
+            "tQ": tQ, "invq": invq, "seq_id_offset": seq_id_offset,
+            "raw_codes": raw_codes, "raw_qmasks": raw_qmasks,
+            "raw_ranges": raw_ranges,
+        }
+
+    def _finalize_chunk_fused(self, state):
+        """Fused-step fast path, sync half; returns None when >20% of
+        queries saturate the top-k budget (whole chunk falls back)."""
+        opts = self.options
+        chunk, perm, Qr = state["chunk"], state["perm"], state["Qr"]
+        codes, qmasks, ranges = (state["codes"], state["qmasks"],
+                                 state["ranges"])
+        tQ, invq = state["tQ"], state["invq"]
+        seq_id_offset = state["seq_id_offset"]
+        out = np.asarray(state["out"])  # single device->host transfer
         edges = out[0].astype(np.int64)
         logl, lwr, pendant, distal = out[1], out[2], out[3], out[4]
         valid = out[5] > 0.5
         # saturated = every top-k slot selected: the dynamic cut may have
-        # wanted more candidates than the static budget
+        # wanted more candidates than the static budget (ignore the
+        # padded replica rows beyond the real query count)
         saturated = valid.all(axis=1)
-        if saturated.mean() > 0.2:
+        if saturated[:Qr].mean() > 0.2:
             return None
 
         # row q of the outputs is original query perm[q]; rebuild the
@@ -375,7 +439,8 @@ class PlacementEngine:
             scores = self.preplace(codes[redo_pad], ranges[redo_pad])
             sub_e, sub_q = heuristics.select_work(scores[:n_redo], opts)
             logl2, pend2, dist2 = self._thorough(
-                sub_e, np.asarray(redo, np.int32)[sub_q], qmasks, ranges)
+                sub_e, np.asarray(redo, np.int32)[sub_q], qmasks, ranges,
+                qt=(tQ, invq))
             by_query: dict[int, list[int]] = {}
             for i, qq in enumerate(sub_q):
                 by_query.setdefault(int(qq), []).append(i)
@@ -397,7 +462,7 @@ class PlacementEngine:
         filter_pqueries(pqueries, opts)
         return pqueries
 
-    def _thorough(self, pair_e, pair_q, qmasks, ranges):
+    def _thorough(self, pair_e, pair_q, qmasks, ranges, qt=None):
         """Blocked vmapped Newton BLO over the pair list, with range
         bucketing: pairs are grouped by their query's valid-range width
         (rounded up to powers of two) and each bucket computes only a
@@ -408,8 +473,8 @@ class PlacementEngine:
         P = len(pair_e)
         block = opts.blo_block
 
-        # query tip tensors for this chunk
-        tQ, invq = self._query_tensors(qmasks)
+        # query tip tensors for this chunk (qt: precomputed (tQ, invq))
+        tQ, invq = qt if qt is not None else self._query_tensors(qmasks)
 
         begins = ranges[:, 0].astype(np.int32)
         spans = ranges[:, 1].astype(np.int32)
@@ -521,6 +586,13 @@ class PlacementEngine:
             raise RuntimeError(
                 f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
         return out_logl, out_pendant, out_distal
+
+
+@partial(jax.jit, static_argnames=("pinv",))
+def _edge_logl_jit(U, lsU, V, lsV, P, freqs, weights, pinv, inv_logterm):
+    from epa_ng_tpu.ops import likelihood
+    return likelihood.edge_loglikelihood(U, lsU, V, lsV, P, freqs, weights,
+                                         pinv=pinv, inv_logterm=inv_logterm)
 
 
 @partial(jax.jit, static_argnames=("width", "max_smoothings"))

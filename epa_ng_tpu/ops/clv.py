@@ -22,6 +22,7 @@ Every edge then has its two directional CLVs as gathers from the buffer:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -174,13 +175,18 @@ def compute_clvs(ops: TreeOps, P: jnp.ndarray, tip_clvs: jnp.ndarray,
     would be padded to the (8, 128) tile — a 32x memory/VPU blowup for DNA —
     so every CLV tensor in the framework is laid out site-last.
     """
+    return _compute_clvs_core(jnp.asarray(ops.ops), P,
+                              jnp.asarray(tip_clvs, P.dtype), ops.n_clvs,
+                              num_rates)
+
+
+def _compute_clvs_core(ops_arr, P, tip_clvs, n_clvs: int, num_rates: int):
     dtype = P.dtype
-    C = ops.n_clvs
     T, S, K = tip_clvs.shape
-    buf = jnp.zeros((C, num_rates, K, S), dtype=dtype)
-    tips = jnp.asarray(tip_clvs, dtype).transpose(0, 2, 1)  # [T, K, S]
+    buf = jnp.zeros((n_clvs, num_rates, K, S), dtype=dtype)
+    tips = tip_clvs.transpose(0, 2, 1)  # [T, K, S]
     buf = buf.at[:T].set(tips[:, None, :, :])
-    ls = jnp.zeros((C, num_rates, S), dtype=dtype)
+    ls = jnp.zeros((n_clvs, num_rates, S), dtype=dtype)
 
     def step(carry, op):
         buf, ls = carry
@@ -198,7 +204,7 @@ def compute_clvs(ops: TreeOps, P: jnp.ndarray, tip_clvs: jnp.ndarray,
         lsc = ls[i1] + ls[i2] + jnp.log(safe)
         return (buf.at[out].set(clv), ls.at[out].set(lsc)), None
 
-    (buf, ls), _ = jax.lax.scan(step, (buf, ls), jnp.asarray(ops.ops))
+    (buf, ls), _ = jax.lax.scan(step, (buf, ls), ops_arr)
     return buf, ls
 
 
@@ -216,11 +222,46 @@ class EdgeTensors:
 
 def build_edge_tensors(tree: Tree, eig: EigenModel, tip_clvs: np.ndarray,
                        dtype=jnp.float64) -> EdgeTensors:
+    edges, _ = build_reference_state(tree, eig, tip_clvs, dtype=dtype)
+    return edges
+
+
+def build_reference_state(tree: Tree, eig: EigenModel, tip_clvs: np.ndarray,
+                          dtype=jnp.float64, inv_logterm=None):
+    """EdgeTensors + reference-tree log-likelihood in ONE jitted
+    computation (P matrices -> CLV scan -> edge gathers -> edge logl).
+
+    The whole init path compiles once and persists in the compilation
+    cache; stage-by-stage eager dispatch cost minutes of XLA compiles per
+    process on tunneled TPU backends.
+    """
     ops = build_tree_ops(tree)
-    P = pmatrices(eig, tree.edge_lengths, dtype=dtype)
-    buf, ls = compute_clvs(ops, P, jnp.asarray(tip_clvs, dtype),
-                           eig.num_rates)
-    u = jnp.asarray(ops.u_idx)
-    v = jnp.asarray(ops.v_idx)
-    return EdgeTensors(U=buf[u], V=buf[v], lsU=ls[u], lsV=ls[v],
-                       lengths=jnp.asarray(tree.edge_lengths, dtype))
+    U, V, lsU, lsV, logl = _reference_state_jit(
+        jnp.asarray(ops.ops), jnp.asarray(ops.u_idx),
+        jnp.asarray(ops.v_idx), jnp.asarray(tip_clvs, dtype),
+        jnp.asarray(tree.edge_lengths, dtype),
+        jnp.asarray(eig.eigenvals, dtype), jnp.asarray(eig.A, dtype),
+        jnp.asarray(eig.Ainv, dtype), jnp.asarray(eig.rates, dtype),
+        jnp.asarray(eig.weights, dtype), jnp.asarray(eig.freqs, dtype),
+        inv_logterm, n_clvs=ops.n_clvs, pinv=eig.pinv)
+    edges = EdgeTensors(U=U, V=V, lsU=lsU, lsV=lsV,
+                        lengths=jnp.asarray(tree.edge_lengths, dtype))
+    return edges, float(logl)
+
+
+@partial(jax.jit, static_argnames=("n_clvs", "pinv"))
+def _reference_state_jit(ops_arr, u_idx, v_idx, tip_clvs, edge_lengths,
+                         eigenvals, A, Ainv, rates, weights, freqs,
+                         inv_logterm, n_clvs: int, pinv: float):
+    from epa_ng_tpu.ops import likelihood
+    t = edge_lengths[:, None] * rates / (1.0 - pinv)
+    expd = jnp.exp(t[..., None] * eigenvals)              # [E, R, K]
+    P = jnp.maximum(
+        jnp.einsum("ik,...k,kj->...ij", A, expd, Ainv, precision=_PP), 0.0)
+    buf, ls = _compute_clvs_core(ops_arr, P, tip_clvs, n_clvs,
+                                 rates.shape[0])
+    U, V, lsU, lsV = buf[u_idx], buf[v_idx], ls[u_idx], ls[v_idx]
+    logl = likelihood.edge_loglikelihood(
+        U[0], lsU[0], V[0], lsV[0], P[0], freqs, weights, pinv=pinv,
+        inv_logterm=inv_logterm)
+    return U, V, lsU, lsV, logl

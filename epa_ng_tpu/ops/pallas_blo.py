@@ -466,15 +466,18 @@ def plan_blocks_pairs(pair_begins: np.ndarray, pair_ends: np.ndarray,
     n_blocks = len(pair_begins) // PB
     pb = np.asarray(pair_begins).reshape(n_blocks, PB)
     pe = np.asarray(pair_ends).reshape(n_blocks, PB)
-    # offsets at sublane (8-element) granularity; width a multiple of 128
-    # (coarse so the jit/Mosaic compile cache is reused across chunks —
-    # an 8-granular width made nearly every chunk a fresh ~30s compile).
+    # offsets at sublane (8-element) granularity; width a power of two
+    # (>=128, capped at the padded site count). Wb is a static shape in the
+    # jitted callers, so its value set must be tiny — a data-dependent
+    # width made nearly every chunk a fresh ~30s XLA/Mosaic compile.
     # Windows are planned against the 128-padded site count — the kernel
     # entry zero-pads the gathered tensors to match.
     s_pad = -(-num_sites // 128) * 128
     offs = (pb.min(axis=1) // 8) * 8
     need = int((pe.max(axis=1) - offs).max())
-    Wb = max(128, -(-need // 128) * 128)
+    Wb = 128
+    while Wb < need:
+        Wb *= 2
     if Wb > s_pad:
         Wb = s_pad
     offs = np.clip(offs, 0, s_pad - Wb).astype(np.int32)

@@ -57,5 +57,9 @@ class Options:
     blo_phase1_smoothings: int = 2  # phase-1 cap of the convergence compaction
     max_newton_iters: int = 30  # inner NR iterations (reference: optimize.cpp:62)
     blo_block: int = 4096  # padded batch size for vmapped Newton BLO
-    fused_topk: int = 8  # candidate budget of the fused fast path
+    # candidate budget of the fused fast path: 16 keeps the saturation
+    # fallback (queries whose accumulated-LWR cut wants more edges) to
+    # ~0.1% of queries at +60% step cost vs 8, a large net win since each
+    # saturated query re-runs the exact host-orchestrated path
+    fused_topk: int = 16
     pallas: str = "auto"  # "auto" | "on" | "off": Pallas Newton kernel use
