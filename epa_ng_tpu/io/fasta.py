@@ -62,11 +62,25 @@ class MSA:
         self.sequences.append(Sequence([header], seq))
 
 
+def is_gzipped(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def open_seqfile(path: str, mode: str = "rb"):
+    """Open a sequence file, transparently decompressing gzip (the
+    reference reads gzipped fasta via genesis' input streams)."""
+    if is_gzipped(path):
+        import gzip
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
 def iter_fasta(path: str) -> Iterator[tuple[str, str]]:
     """Yield (label, uppercased sequence) from a FASTA file."""
     label = None
     chunks: list[str] = []
-    with open(path, "rb") as f:
+    with open_seqfile(path, "rb") as f:
         for raw in f:
             line = raw.strip()
             if not line:
@@ -87,7 +101,7 @@ def iter_fasta(path: str) -> Iterator[tuple[str, str]]:
 def iter_phylip(path: str) -> Iterator[tuple[str, str]]:
     """Yield (label, sequence) from sequential or interleaved phylip
     (reference analog: src/util/split.hpp read_any_seqfile)."""
-    with open(path) as f:
+    with io.TextIOWrapper(open_seqfile(path, "rb")) as f:
         header = f.readline().split()
         if len(header) < 2:
             raise ValueError(f"{path}: not a phylip file")
@@ -125,7 +139,7 @@ def iter_phylip(path: str) -> Iterator[tuple[str, str]]:
 
 
 def iter_any_seqfile(path: str) -> Iterator[tuple[str, str]]:
-    with open(path, "rb") as f:
+    with open_seqfile(path, "rb") as f:
         first = f.read(1)
     if first == b">":
         return iter_fasta(path)

@@ -58,6 +58,42 @@ _AA_BITS.update({
 # The 24 lookup columns for amino acids (reference src/util/maps.hpp AA_MAP)
 AA_LOOKUP_CHARS = "ACDEFGHIKLMNPQRSTVWY-XBZ"
 
+# ---------------------------------------------------------------------------
+# Binary (2-state) data, libpll pll_map_bin convention
+# ---------------------------------------------------------------------------
+
+BIN_STATES = "01"
+
+_BIN_BITS = {
+    "0": 0b01, "1": 0b10,
+    "-": 0b11, "?": 0b11, "*": 0b11, ".": 0b11, "X": 0b11,
+}
+
+BIN_LOOKUP_CHARS = "01-"
+
+# ---------------------------------------------------------------------------
+# Unphased diploid genotype (10-state) data. State order and character map
+# follow the reference's pll_map_diploid10 (src/core/raxml/Model.cpp:36-52):
+# bit k = state k with states [AA CC GG TT AC AG CG AT CT GT]; homozygotes
+# are the plain bases, heterozygotes the IUPAC two-base ambiguity codes.
+# ---------------------------------------------------------------------------
+
+GT_STATES = ("AA", "CC", "GG", "TT", "AC", "AG", "CG", "AT", "CT", "GT")
+
+_ALL_GT = (1 << 10) - 1
+_GT_BITS = {
+    "A": 1 << 0, "C": 1 << 1, "G": 1 << 2, "T": 1 << 3, "U": 1 << 3,
+    "M": 1 << 4,  # A/C het
+    "R": 1 << 5,  # A/G het
+    "S": 1 << 6,  # C/G het
+    "W": 1 << 7,  # A/T het
+    "Y": 1 << 8,  # C/T het
+    "K": 1 << 9,  # G/T het
+    "-": _ALL_GT, "?": _ALL_GT, "N": _ALL_GT, "O": _ALL_GT, "X": _ALL_GT,
+}
+
+GT_LOOKUP_CHARS = "ACGTMRSWYK-"
+
 
 def _build_state_mask_table(bits: dict, num_states: int) -> np.ndarray:
     """ASCII (256) -> state bitmask; 0 means invalid character."""
@@ -70,6 +106,8 @@ def _build_state_mask_table(bits: dict, num_states: int) -> np.ndarray:
 
 DNA_STATE_MASK = _build_state_mask_table(_DNA_BITS, 4)
 AA_STATE_MASK = _build_state_mask_table(_AA_BITS, 20)
+BIN_STATE_MASK = _build_state_mask_table(_BIN_BITS, 2)
+GT_STATE_MASK = _build_state_mask_table(_GT_BITS, 10)
 
 
 def _build_lookup_col_table(chars: str, dna: bool) -> np.ndarray:
@@ -104,27 +142,54 @@ def _build_lookup_col_table(chars: str, dna: bool) -> np.ndarray:
 NT_LOOKUP_COL = _build_lookup_col_table(NT_LOOKUP_CHARS, dna=True)
 AA_LOOKUP_COL = _build_lookup_col_table(AA_LOOKUP_CHARS, dna=False)
 
+
+def _extra_lookup_cols(chars: str, bits: dict) -> np.ndarray:
+    """Lookup-column table for the BIN/GT alphabets: every char in the
+    state-mask dict maps onto its column; all-states chars share the gap
+    column; aliases (e.g. U->T) collapse onto the canonical column."""
+    table = np.full(256, 255, dtype=np.uint8)
+    gap_col = chars.index("-")
+    all_states = bits["-"]
+    by_mask = {bits[c]: i for i, c in enumerate(chars) if c in bits}
+    for ch, mask in bits.items():
+        col = gap_col if mask == all_states else by_mask[mask]
+        table[ord(ch)] = col
+        table[ord(ch.lower())] = col
+    return table
+
+
+BIN_LOOKUP_COL = _extra_lookup_cols(BIN_LOOKUP_CHARS, _BIN_BITS)
+GT_LOOKUP_COL = _extra_lookup_cols(GT_LOOKUP_CHARS, _GT_BITS)
+
 INVALID_COL = 255
+
+_STATE_MASKS = {4: DNA_STATE_MASK, 20: AA_STATE_MASK, 2: BIN_STATE_MASK,
+                10: GT_STATE_MASK}
+_LOOKUP_CHARS = {4: NT_LOOKUP_CHARS, 20: AA_LOOKUP_CHARS,
+                 2: BIN_LOOKUP_CHARS, 10: GT_LOOKUP_CHARS}
+_LOOKUP_COLS = {4: NT_LOOKUP_COL, 20: AA_LOOKUP_COL, 2: BIN_LOOKUP_COL,
+                10: GT_LOOKUP_COL}
 
 
 def state_mask_table(num_states: int) -> np.ndarray:
-    if num_states == 4:
-        return DNA_STATE_MASK
-    if num_states == 20:
-        return AA_STATE_MASK
-    raise ValueError(f"unsupported number of states: {num_states}")
+    try:
+        return _STATE_MASKS[num_states]
+    except KeyError:
+        raise ValueError(f"unsupported number of states: {num_states}")
 
 
 def lookup_chars(num_states: int) -> str:
-    return NT_LOOKUP_CHARS if num_states == 4 else AA_LOOKUP_CHARS
+    try:
+        return _LOOKUP_CHARS[num_states]
+    except KeyError:
+        raise ValueError(f"unsupported number of states: {num_states}")
 
 
 def lookup_col_table(num_states: int) -> np.ndarray:
-    if num_states == 4:
-        return NT_LOOKUP_COL
-    if num_states == 20:
-        return AA_LOOKUP_COL
-    raise ValueError(f"unsupported number of states: {num_states}")
+    try:
+        return _LOOKUP_COLS[num_states]
+    except KeyError:
+        raise ValueError(f"unsupported number of states: {num_states}")
 
 
 def lookup_tip_clvs(num_states: int) -> np.ndarray:

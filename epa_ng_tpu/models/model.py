@@ -31,6 +31,12 @@ class DataType(enum.Enum):
     AUTODETECT = "autodetect"
     DNA = "dna"
     PROTEIN = "protein"
+    BINARY = "binary"
+    DIPLOID10 = "diploid10"
+
+
+DATATYPE_STATES = {DataType.DNA: 4, DataType.PROTEIN: 20,
+                   DataType.BINARY: 2, DataType.DIPLOID10: 10}
 
 
 class ParamValue(enum.Enum):
@@ -74,6 +80,48 @@ _DNA_MODELS = {
     "GTR":     ("012345", False),
 }
 
+# --- unphased-genotype (10-state) model database -----------------------------
+# name -> DNA-level symmetry string over the 6 base-pair rates (AC AG AT CG
+# CT GT); expanded to the 45 genotype exchangeabilities by _gt_expand. GTGTR
+# (all 45 free) is handled separately. State order follows the reference's
+# pll_map_diploid10 (src/core/raxml/Model.cpp:36-56).
+_GT_MODELS = {
+    "GTJC":    ("000000", True),
+    "GTHKY4":  ("010010", False),
+    "GTGTR4":  ("012345", False),
+}
+
+# upper-triangle (i<j) pair order for the 45 genotype rates
+from epa_ng_tpu.models.charmaps import GT_STATES as _GT_STATES
+
+_DNA_PAIR_INDEX = {p: i for i, p in enumerate(
+    ("AC", "AG", "AT", "CG", "CT", "GT"))}
+
+
+def _gt_expand(dna_rates: np.ndarray) -> np.ndarray:
+    """Expand the 6 DNA exchangeabilities to the 45 genotype rates: two
+    genotypes exchanging at rate r_xy iff they differ in exactly one allele
+    (x -> y); structurally 0 otherwise (the CellPhy/raxml-ng GT10 model)."""
+    n = len(_GT_STATES)
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            a = sorted(_GT_STATES[i])
+            b = sorted(_GT_STATES[j])
+            # multiset difference
+            rem_a, rem_b = list(a), list(b)
+            for ch in a:
+                if ch in rem_b:
+                    rem_b.remove(ch)
+                    rem_a.remove(ch)
+            if len(rem_a) == 1:
+                pair = "".join(sorted(rem_a + rem_b))
+                out.append(dna_rates[_DNA_PAIR_INDEX[pair]])
+            else:
+                out.append(0.0)
+    return np.asarray(out, dtype=np.float64)
+
+
 # --- protein named-matrix registry ------------------------------------------
 # name -> (rates[190], freqs[20]); populated lazily from
 # epa_ng_tpu.models.aa_matrices. PROTGTR (free rates) always works.
@@ -94,6 +142,7 @@ class Model:
     subst_rates: np.ndarray = None      # full rate vector (6 or 190)
     base_freqs: np.ndarray = None       # [states]
     rate_sym: Optional[str] = None      # symmetry string (DNA custom models)
+    gt_dna_sym: Optional[str] = None    # genotype models: DNA-level symmetry
     alpha: float = 1.0
     pinv: float = 0.0
     num_ratecats: int = 1
@@ -122,14 +171,18 @@ class Model:
         model.name = name_u
 
         if data_type == DataType.AUTODETECT:
-            if name_u in _DNA_MODELS:
+            if name_u in _GT_MODELS or name_u == "GTGTR":
+                data_type = DataType.DIPLOID10
+            elif name_u == "BIN":
+                data_type = DataType.BINARY
+            elif name_u in _DNA_MODELS:
                 data_type = DataType.DNA
             elif name_u == "PROTGTR" or name_u in _aa_registry():
                 data_type = DataType.PROTEIN
             else:
                 raise ModelError(f"Invalid model name: {name}")
         model.data_type = data_type
-        model.num_states = 4 if data_type == DataType.DNA else 20
+        model.num_states = DATATYPE_STATES[data_type]
         nr = _n_rates(model.num_states)
 
         equal_freqs_model = False
@@ -140,6 +193,25 @@ class Model:
             model.rate_sym = sym
             model.rates_mode = ParamValue.ML
             model.subst_rates = _expand_sym(sym, None)
+        elif data_type == DataType.BINARY:
+            if name_u != "BIN":
+                raise ModelError(f"Invalid model name: {name}")
+            model.rates_mode = ParamValue.ML
+            model.subst_rates = np.asarray([1.0])
+        elif data_type == DataType.DIPLOID10:
+            if name_u == "GTGTR":
+                # general 10-state GTR: all 45 exchangeabilities free
+                model.gt_dna_sym = None
+                model.rates_mode = ParamValue.ML
+                model.subst_rates = np.full(nr, 0.5)
+                model.subst_rates[-1] = 1.0
+            elif name_u in _GT_MODELS:
+                sym, equal_freqs_model = _GT_MODELS[name_u]
+                model.gt_dna_sym = sym
+                model.rates_mode = ParamValue.ML
+                model.subst_rates = _gt_expand(_expand_sym(sym, None))
+            else:
+                raise ModelError(f"Invalid model name: {name}")
         else:
             if name_u == "PROTGTR":
                 model.rate_sym = None
@@ -270,6 +342,22 @@ class Model:
 
     def _set_user_rates(self, user_rates: np.ndarray):
         nr = _n_rates(self.num_states)
+        if self.data_type == DataType.DIPLOID10 and self.gt_dna_sym is not None:
+            # user supplies the DNA-level rates (as many as the model's
+            # unique base-pair rates, or the full 6); expand to the 45
+            # genotype exchangeabilities
+            sym = self.gt_dna_sym
+            n_uniq = len(set(sym))
+            if len(user_rates) == 6 and n_uniq != 6:
+                dna6 = np.asarray(user_rates, dtype=np.float64)
+            elif len(user_rates) != n_uniq:
+                raise ModelError(
+                    f"Invalid number of substitution rates specified: "
+                    f"{len(user_rates)} (expected: {n_uniq})")
+            else:
+                dna6 = _expand_sym(sym, np.asarray(user_rates, np.float64))
+            self.subst_rates = _gt_expand(dna6 / dna6[-1])
+            return
         sym = self.rate_sym
         if sym is not None:
             n_uniq = len(set(sym))

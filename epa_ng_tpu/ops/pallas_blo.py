@@ -466,10 +466,12 @@ def plan_blocks_pairs(pair_begins: np.ndarray, pair_ends: np.ndarray,
     n_blocks = len(pair_begins) // PB
     pb = np.asarray(pair_begins).reshape(n_blocks, PB)
     pe = np.asarray(pair_ends).reshape(n_blocks, PB)
-    # offsets at sublane (8-element) granularity; width a power of two
-    # (>=128, capped at the padded site count). Wb is a static shape in the
-    # jitted callers, so its value set must be tiny — a data-dependent
-    # width made nearly every chunk a fresh ~30s XLA/Mosaic compile.
+    # offsets at sublane (8-element) granularity; width from the menu
+    # {2^k, 3*2^(k-1)} >= 128, capped at the padded site count. Wb is a
+    # static shape in the jitted callers, so its value set must be tiny —
+    # a data-dependent width made nearly every chunk a fresh ~30s
+    # XLA/Mosaic compile — while the 1.5x intermediate steps bound the
+    # window-padding waste at 33%.
     # Windows are planned against the 128-padded site count — the kernel
     # entry zero-pads the gathered tensors to match.
     s_pad = -(-num_sites // 128) * 128
@@ -477,7 +479,10 @@ def plan_blocks_pairs(pair_begins: np.ndarray, pair_ends: np.ndarray,
     need = int((pe.max(axis=1) - offs).max())
     Wb = 128
     while Wb < need:
-        Wb *= 2
+        if Wb < 256:
+            Wb *= 2  # keep every width a multiple of the 128 lane tile
+        else:
+            Wb = Wb * 3 // 2 if (Wb & (Wb - 1)) == 0 else Wb * 4 // 3
     if Wb > s_pad:
         Wb = s_pad
     offs = np.clip(offs, 0, s_pad - Wb).astype(np.int32)

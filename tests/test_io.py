@@ -116,3 +116,21 @@ def test_valid_range():
     assert (begin, span) == (0, 6)
     begin, span = get_valid_range("----")
     assert span == 0
+
+
+def test_gzipped_fasta(tmp_path):
+    """Gzipped sequence files read transparently (the reference reads
+    gzipped fasta via genesis' input streams)."""
+    import gzip
+    src = open("/root/reference/test/data/aln.fasta", "rb").read()
+    gz = tmp_path / "aln.fasta.gz"
+    gz.write_bytes(gzip.compress(src))
+    want = fio.make_msa_info("/root/reference/test/data/aln.fasta")
+    got = fio.make_msa_info(str(gz))
+    assert got.sequences == want.sequences
+    assert got.sites == want.sites
+    assert (got.gap_mask == want.gap_mask).all()
+    a = fio.build_msa_from_file("/root/reference/test/data/aln.fasta",
+                                want, False)
+    b = fio.build_msa_from_file(str(gz), got, False)
+    assert [s.sequence for s in a] == [s.sequence for s in b]
