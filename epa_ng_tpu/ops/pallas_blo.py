@@ -118,18 +118,23 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
 
     def build_T(lp, ld, q_slices):
         """T[j] (j = r*K+k3) = sum_{k1,k2} wG[j,k1k2] e1_{rk1} e2_{rk2}
-        tU[rk1] tV[rk2] * q_slices[k3]; returns a list of RK [W,PB] tiles."""
+        tU[rk1] tV[rk2] * q_slices[k3]; returns a list of RK [W,PB] tiles.
+
+        The per-lane exponentials are folded into the operands first
+        (uU = tU*e1, uV = tV*e2) so the inner K^3 loop is pure
+        scalar-coefficient FMAs."""
         e1 = exps(lp)
         e2 = exps(ld)
+        uU = [tU_ref[j] * e1[j] for j in range(RK)]
+        uV = [tV_ref[j] * e2[j] for j in range(RK)]
         T = [None] * RK
         for r in range(R):
             for k1 in range(K):
                 for k2 in range(K):
-                    p_tile = tU_ref[r * K + k1] * tV_ref[r * K + k2]
-                    coef = e1[r * K + k1] * e2[r * K + k2]      # [1, PB]
+                    p_tile = uU[r * K + k1] * uV[r * K + k2]
                     for k3 in range(K):
                         g = wG_ref[r * K + k3, k1 * K + k2]
-                        term = (g * coef) * p_tile
+                        term = g * p_tile
                         j = r * K + k3
                         T[j] = term if T[j] is None else T[j] + term
         for j in range(RK):
@@ -144,8 +149,15 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         x0 = jnp.clip(guess, xmin, xmax)
         done0 = jnp.zeros((1, PB), dtype)  # 0/1 float mask
 
-        def it(_, carry):
-            x, done = carry
+        def cond(carry):
+            # early exit once every pair in the block converged: Newton
+            # typically needs 3-6 iterations, MAX_ITERS (30) is only the
+            # safety bound — running it in full tripled the kernel time
+            _, done, i = carry
+            return jnp.logical_and(i < MAX_ITERS, jnp.any(done < 1))
+
+        def it(carry):
+            x, done, i = carry
             E = exps(x)
             f0 = jnp.zeros((W, PB), dtype)
             f1 = jnp.zeros((W, PB), dtype)
@@ -168,14 +180,14 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
             conv = (jnp.abs(xn - x) < xtol) | (d1 == 0)
             xn = jnp.where(done > 0, x, xn)
             done = jnp.maximum(done, conv.astype(dtype))
-            return xn, done
+            return xn, done, i + 1
 
-        x, _ = jax.lax.fori_loop(0, MAX_ITERS, it, (x0, done0))
+        x, _, _ = jax.lax.while_loop(
+            cond, it, (x0, done0, jnp.zeros((), jnp.int32)))
         return x
 
-    def score(lp, ld, lq):
-        q_plain = [tQ_ref[k] for k in range(K)]
-        T = build_T(lp, ld, q_plain)
+    def score_from(T, lq):
+        """Masked log-likelihood from an existing T at pendant length lq."""
         Eq = exps(lq)
         f = jnp.zeros((W, PB), dtype)
         for j in range(RK):
@@ -183,19 +195,23 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         g = jnp.maximum(f, tiny)
         return jnp.sum(mask * jnp.log(g), axis=0, keepdims=True)  # [1, PB]
 
+    q_plain = [tQ_ref[k] for k in range(K)]
     pendant0 = jnp.full((1, PB), DEFAULT_PENDANT, dtype)
-    neg0 = -score(half, half, pendant0)
+    # T is carried across smoothings: the score's T at the accepted lengths
+    # IS the next smoothing's pendant sumtable (rolled-back pairs are
+    # `done`, so their stale carry is never consumed), saving one full
+    # build_T per smoothing.
+    T_init = tuple(build_T(half, half, q_plain))
+    neg0 = -score_from(T_init, pendant0)
 
     def smooth_cond(state):
-        _, _, _, _, it, done = state
+        _, _, _, _, it, done, _ = state
         return jnp.logical_and(it < max_smoothings, jnp.any(done < 1))
 
     def smooth_body(state):
-        pendant, distal, proximal, neg_logl, it, done = state
-        q_plain = [tQ_ref[k] for k in range(K)]
+        pendant, distal, proximal, neg_logl, it, done, T1 = state
 
         # --- pendant Newton on T1(lp, ld fixed)
-        T1 = build_T(proximal, distal, q_plain)
         guess = jnp.where((pendant < BRLEN_MIN) | (pendant > BRLEN_MAX),
                           BRLEN_DEFAULT, pendant)
         new_pendant = newton(T1, BRLEN_MIN, BRLEN_MAX, BRLEN_MIN / 10.0,
@@ -207,15 +223,16 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         # (tU, tQ*e(lq)) ... implemented by treating V as the "query" slot:
         Eq = exps(new_pendant)
         e1 = exps(proximal)
+        uU = [tU_ref[j] * e1[j] for j in range(RK)]
+        uQ = [tQ_ref[j % K] * Eq[j] for j in range(RK)]
         T2 = [None] * RK
         for r in range(R):
             for k1 in range(K):
                 for k3 in range(K):
-                    p_tile = tU_ref[r * K + k1] * tQ_ref[k3]
-                    coef = e1[r * K + k1] * Eq[r * K + k3]
+                    p_tile = uU[r * K + k1] * uQ[r * K + k3]
                     for k2 in range(K):
                         g = wG_ref[r * K + k2, k1 * K + k3]
-                        term = (g * coef) * p_tile
+                        term = g * p_tile
                         j = r * K + k2
                         T2[j] = term if T2[j] is None else T2[j] + term
         for j in range(RK):
@@ -226,7 +243,8 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         new_distal = newton(T2, dist_min, dist_max, dist_tol, guess2)
         new_proximal = orig - new_distal
 
-        new_neg = -score(new_proximal, new_distal, new_pendant)
+        T_new = tuple(build_T(new_proximal, new_distal, q_plain))
+        new_neg = -score_from(T_new, new_pendant)
 
         worse = (new_neg - neg_logl) > jnp.abs(new_neg) * 1e-14
         converged = jnp.abs(new_neg - neg_logl) < OPT_BRANCH_EPSILON
@@ -237,12 +255,12 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         neg_out = jnp.where(keep > 0, neg_logl, new_neg)
         done_out = jnp.maximum(keep, converged.astype(dtype))
         return (pendant_out, distal_out, proximal_out, neg_out, it + 1,
-                done_out)
+                done_out, T_new)
 
     state = (pendant0, half, half, neg0,
              jnp.zeros((), jnp.int32),
-             jnp.zeros((1, PB), dtype))
-    pendant, distal, proximal, neg_logl, _, done = jax.lax.while_loop(
+             jnp.zeros((1, PB), dtype), T_init)
+    pendant, distal, proximal, neg_logl, _, done, _ = jax.lax.while_loop(
         smooth_cond, smooth_body, state)
 
     logl_ref[...] = -neg_logl
@@ -466,12 +484,13 @@ def plan_blocks_pairs(pair_begins: np.ndarray, pair_ends: np.ndarray,
     n_blocks = len(pair_begins) // PB
     pb = np.asarray(pair_begins).reshape(n_blocks, PB)
     pe = np.asarray(pair_ends).reshape(n_blocks, PB)
-    # offsets at sublane (8-element) granularity; width from the menu
-    # {2^k, 3*2^(k-1)} >= 128, capped at the padded site count. Wb is a
-    # static shape in the jitted callers, so its value set must be tiny —
-    # a data-dependent width made nearly every chunk a fresh ~30s
-    # XLA/Mosaic compile — while the 1.5x intermediate steps bound the
-    # window-padding waste at 33%.
+    # offsets at sublane (8-element) granularity. The window width rides
+    # the SUBLANE axis of the [W, PB] tiles (pairs are the 128-lane axis),
+    # so any multiple of 8 tiles cleanly; but Wb is a static shape in the
+    # jitted callers, so its value set must be tiny — a fully
+    # data-dependent width made nearly every chunk a fresh ~30s XLA/Mosaic
+    # compile. Quarter-octave menu {2^k * (1, 1.25, 1.5, 1.75)} >= 128:
+    # at most 4 compile entries per octave, padding waste bounded at 12.5%.
     # Windows are planned against the 128-padded site count — the kernel
     # entry zero-pads the gathered tensors to match.
     s_pad = -(-num_sites // 128) * 128
@@ -479,10 +498,7 @@ def plan_blocks_pairs(pair_begins: np.ndarray, pair_ends: np.ndarray,
     need = int((pe.max(axis=1) - offs).max())
     Wb = 128
     while Wb < need:
-        if Wb < 256:
-            Wb *= 2  # keep every width a multiple of the 128 lane tile
-        else:
-            Wb = Wb * 3 // 2 if (Wb & (Wb - 1)) == 0 else Wb * 4 // 3
+        Wb += max(32, Wb // 4 // 32 * 32)
     if Wb > s_pad:
         Wb = s_pad
     offs = np.clip(offs, 0, s_pad - Wb).astype(np.int32)
