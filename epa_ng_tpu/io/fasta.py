@@ -184,6 +184,14 @@ def make_msa_info(path: str) -> MSAInfo:
     from epa_ng_tpu.io import bfast
     if bfast.is_bfast(path):
         return bfast.get_info(path)
+    if not is_gzipped(path):
+        # native mmap scanner (returns None for non-fasta/unavailable)
+        from epa_ng_tpu.io.native import native_info
+        got = native_info(path)
+        if got is not None:
+            n_seqs, n_sites, mask = got
+            return MSAInfo(path=path, sites=n_sites, sequences=n_seqs,
+                           gap_mask=mask)
     sites = 0
     count = 0
     mask: Optional[np.ndarray] = None
@@ -269,12 +277,25 @@ class MSAStream:
 
 def make_msa_reader(path: str, info: MSAInfo, premask: bool, split: bool,
                     process_index: int = 0, process_count: int = 1):
-    """Factory: bfast random-access reader if the file is bfast, else a
-    streaming text reader (reference: src/io/msa_reader.hpp:15-26)."""
+    """Factory: bfast random-access reader if the file is bfast, the native
+    mmap scanner for plain fasta, else the python streaming reader
+    (reference: src/io/msa_reader.hpp:15-26)."""
     from epa_ng_tpu.io import bfast
     if bfast.is_bfast(path):
         return bfast.BfastReader(path, info, premask, split,
                                  process_index, process_count)
+    if not is_gzipped(path):
+        from epa_ng_tpu.io.native import NativeMSAStream, get_lib
+        with open(path, "rb") as f:
+            first = f.read(1)
+        if first == b">" and get_lib() is not None:
+            try:
+                return NativeMSAStream(path, info, premask, split,
+                                       process_index, process_count)
+            except Exception as e:
+                import logging
+                logging.getLogger("epa_ng_tpu").debug(
+                    "native reader unavailable (%s); python fallback", e)
     return MSAStream(path, info, premask, split, process_index, process_count)
 
 

@@ -181,3 +181,58 @@ class NativeChunkReader:
             self.close()
         except Exception:
             pass
+
+
+def passthrough_map() -> np.ndarray:
+    """Code map whose "codes" are the uppercased sequence bytes themselves:
+    lets NativeChunkReader act as a fast fasta scanner producing plain
+    (premask-stripped, uppercased) sequence strings. Permissive — real
+    per-datatype validation happens in models.charmaps.encode_states."""
+    table = np.full(256, 255, dtype=np.uint8)
+    for c in range(ord("A"), ord("Z") + 1):
+        table[c] = c
+        table[c + 32] = c  # lowercase folds
+    for ch in "0123456789-?.*~":
+        table[ord(ch)] = ord(ch)
+    return table
+
+
+_PASSTHROUGH = passthrough_map()
+
+
+class NativeMSAStream:
+    """Drop-in replacement for fasta.MSAStream backed by the native scanner:
+    mmap + table-driven scan emits uppercased, premask-stripped sequence
+    bytes straight into a numpy matrix (no per-line python parsing). Same
+    chunking, premasking, and host-shard semantics."""
+
+    def __init__(self, path: str, info, premask: bool = True,
+                 split: bool = False, process_index: int = 0,
+                 process_count: int = 1):
+        mask = info.gap_mask if premask and info.gap_count else None
+        offset, count = 0, info.sequences
+        if split and process_count > 1:
+            total = info.sequences
+            base = total // process_count
+            rem = total % process_count
+            offset = process_index * base + min(process_index, rem)
+            count = base + (1 if process_index < rem else 0)
+        self._reader = NativeChunkReader(path, _PASSTHROUGH, info.sites,
+                                         mask=mask, skip=offset, limit=count)
+        self._local_offset = offset
+
+    @property
+    def local_seq_offset(self) -> int:
+        return self._local_offset
+
+    def read_next(self, chunk_size: int):
+        from epa_ng_tpu.io.fasta import MSA, Sequence
+        labels, rows = self._reader.read_chunk(chunk_size)
+        msa = MSA()
+        if labels is None:
+            return msa
+        msa.num_sites = rows.shape[1]
+        seqs = msa.sequences
+        for i, label in enumerate(labels):
+            seqs.append(Sequence([label], rows[i].tobytes().decode("ascii")))
+        return msa

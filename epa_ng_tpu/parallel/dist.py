@@ -17,7 +17,15 @@ import shutil
 
 
 def process_info() -> tuple[int, int]:
-    """(process_index, process_count) of this host in the job."""
+    """(process_index, process_count) of this host in the job.
+
+    Env overrides EPA_NG_TPU_PROCESS_INDEX / EPA_NG_TPU_PROCESS_COUNT allow
+    driving the sharded path without jax.distributed (tests, plain
+    rank-per-host launches with an external merger)."""
+    idx = os.environ.get("EPA_NG_TPU_PROCESS_INDEX")
+    cnt = os.environ.get("EPA_NG_TPU_PROCESS_COUNT")
+    if idx is not None and cnt is not None:
+        return int(idx), int(cnt)
     try:
         import jax
         return jax.process_index(), jax.process_count()

@@ -62,3 +62,43 @@ def test_native_rejects_garbage(tmp_path):
     r = NativeChunkReader(str(bad), NT_LOOKUP_COL, 5)
     with pytest.raises(ValueError, match="invalid character"):
         r.read_chunk(1)
+
+
+def test_native_msa_stream_matches_python():
+    from epa_ng_tpu.io.native import NativeMSAStream
+    for premask in (False, True):
+        info = fio.make_msa_info(f"{D}/query.fasta")
+        ref_info = fio.make_msa_info(f"{D}/aln.fasta")
+        if premask:
+            fio.MSAInfo.or_mask(ref_info, info)
+        a = NativeMSAStream(f"{D}/query.fasta", info, premask)
+        b = fio.MSAStream(f"{D}/query.fasta", info, premask)
+        while True:
+            ca = a.read_next(1)
+            cb = b.read_next(1)
+            assert len(ca) == len(cb)
+            if not len(ca):
+                break
+            assert ca[0].header == cb[0].header
+            assert ca[0].sequence == cb[0].sequence
+
+
+def test_native_msa_stream_sharding():
+    info = fio.make_msa_info(f"{D}/query.fasta")
+    from epa_ng_tpu.io.native import NativeMSAStream
+    seen = []
+    for rank in range(2):
+        r = NativeMSAStream(f"{D}/query.fasta", info, True, split=True,
+                            process_index=rank, process_count=2)
+        chunk = r.read_next(100)
+        seen.extend(s.header for s in chunk)
+    full = fio.MSAStream(f"{D}/query.fasta", info, True).read_next(100)
+    assert seen == [s.header for s in full]
+
+
+def test_reader_factory_uses_native():
+    from epa_ng_tpu.io.native import NativeMSAStream, get_lib
+    info = fio.make_msa_info(f"{D}/query.fasta")
+    r = fio.make_msa_reader(f"{D}/query.fasta", info, True, split=False)
+    if get_lib() is not None:
+        assert isinstance(r, NativeMSAStream)
