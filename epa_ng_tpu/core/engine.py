@@ -526,7 +526,8 @@ class PlacementEngine:
                 done_out[rest] = run_bucketed(rest, cap)[rest]
             return done_out
 
-        def run_bucketed(idx: np.ndarray, cap: int) -> np.ndarray:
+        def run_bucketed(idx: np.ndarray, cap: int,
+                         allow_pallas: bool = True) -> np.ndarray:
             """Width-bucketed per-pair windowed path (XLA Newton, or the
             per-pair Pallas kernel when supported)."""
             done_out = np.zeros(P, dtype=bool)
@@ -538,7 +539,8 @@ class PlacementEngine:
             order = idx[np.argsort(widths[idx], kind="stable")]
             for W in np.unique(widths[idx]):
                 widx = order[widths[order] == W]
-                use_pallas = (opts.sliding_blo and self._use_pallas(int(W)))
+                use_pallas = (allow_pallas and opts.sliding_blo
+                              and self._use_pallas(int(W)))
                 for start in range(0, len(widx), blk):
                     sel = widx[start:start + blk]
                     n = len(sel)
@@ -564,10 +566,16 @@ class PlacementEngine:
 
         def run(idx: np.ndarray, cap: int) -> np.ndarray:
             """Optimize the given pair subset with a smoothing cap; fills
-            outputs, returns the per-pair converged flags."""
-            if opts.sliding_blo and self._use_pallas(128):
+            outputs, returns the per-pair converged flags.
+
+            Small batches (the saturation-redo path) go through the XLA
+            windowed kernel: tracing the unrolled Pallas kernels costs ~2s
+            of pure python per width variant — far more than the device
+            time saved on a few hundred pairs."""
+            small = len(idx) < 4096
+            if (not small) and opts.sliding_blo and self._use_pallas(128):
                 return run_blocked(idx, cap)
-            return run_bucketed(idx, cap)
+            return run_bucketed(idx, cap, allow_pallas=not small)
 
         # two-phase convergence compaction: most pairs converge (or roll
         # back) within a couple of smoothings; run everything with a small
