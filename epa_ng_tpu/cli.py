@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
     comp.add_argument("--raxml-blo", action="store_true",
                       help="Old-style independent branch length optimization "
                            "instead of the sliding approach.")
+    comp.add_argument("--opt-model", action="store_true",
+                      help="ML-evaluate free model parameters and reference "
+                           "tree branch lengths before placement (L-BFGS on "
+                           "the jitted likelihood; alpha by golden "
+                           "section).")
     comp.add_argument("--no-pre-mask", action="store_true",
                       help="Do NOT pre-mask sequences.")
     comp.add_argument("--rate-scalers", choices=["on", "off", "auto"],
@@ -170,6 +175,8 @@ def options_from_args(args) -> Options:
         o.chunk_size = args.chunk_size
     if args.raxml_blo:
         o.sliding_blo = False
+    if args.opt_model:
+        o.opt_model = True
     if args.no_pre_mask:
         o.premasking = False
         o.repeats = True
@@ -310,6 +317,14 @@ def main(argv=None) -> int:
 
         ref_msa = fio.build_msa_from_file(args.ref_msa, ref_info, premask)
         tree = Tree.from_file(args.tree, options.preserve_rooting)
+        if options.opt_model:
+            from epa_ng_tpu.core.evaluate import optimize_model
+            import jax.numpy as jnp
+            log.info("Optimizing model parameters and branch lengths")
+            optimize_model(tree, ref_msa, model,
+                           dtype=(jnp.float64
+                                  if options.compute_dtype == "f64"
+                                  else jnp.float32))
         engine = PlacementEngine(tree, ref_msa, model, options)
 
         if options.dump_binary_mode:
