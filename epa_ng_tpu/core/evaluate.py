@@ -63,17 +63,21 @@ def _rate_expander(model):
 
 
 @partial(jax.jit, static_argnames=("n_clvs",))
-def _neg_logl(log_bl, log_uniq, freq_logits, rate_basis, ops_arr, u0, v0,
-              tip_clvs, cat_rates, cat_weights, n_clvs: int):
+def _neg_logl(log_bl, log_uniq, freq_logits, pinv_logit, rate_basis,
+              ops_arr, u0, v0, tip_clvs, cat_rates, cat_weights,
+              inv_state, n_clvs: int):
     """Differentiable reference-tree negative log-likelihood.
 
     rate_basis: [n_free, NR] expansion matrix from free rates to the full
-    exchangeability vector; u0/v0: the CLV indices of edge 0's endpoints.
+    exchangeability vector; u0/v0: the CLV indices of edge 0's endpoints;
+    pinv_logit: scalar, sigmoid -> proportion of invariant sites (pass
+    -inf-ish for pinv == 0); inv_state: [S] invariant state index or -1.
     """
     dtype = tip_clvs.dtype
     K = tip_clvs.shape[2]
     rates_full = jnp.einsum("i,ij->j", jnp.exp(log_uniq), rate_basis)
     freqs = jax.nn.softmax(freq_logits)
+    pinv = jax.nn.sigmoid(pinv_logit)
     # Q build (ops.eigen.build_rate_matrix, differentiably)
     iu = jnp.triu_indices(K, k=1)
     S = jnp.zeros((K, K), dtype).at[iu].set(rates_full)
@@ -90,7 +94,8 @@ def _neg_logl(log_bl, log_uniq, freq_logits, rate_basis, ops_arr, u0, v0,
     Ainv = W.T * sqrt_pi[None, :]
 
     bl = jnp.exp(log_bl)
-    t = bl[:, None] * cat_rates                      # [E, R]
+    # libpll convention: time scaled by 1/(1-pinv) (ops.eigen.pmatrices)
+    t = bl[:, None] * cat_rates / (1.0 - pinv)       # [E, R]
     expd = jnp.exp(t[..., None] * eigvals)           # [E, R, K]
     P = jnp.maximum(
         jnp.einsum("ik,erk,kj->erij", A, expd, Ainv, precision=_PP), 0.0)
@@ -98,8 +103,13 @@ def _neg_logl(log_bl, log_uniq, freq_logits, rate_basis, ops_arr, u0, v0,
     buf, ls = _compute_clvs_core(ops_arr, P, tip_clvs, n_clvs,
                                  cat_rates.shape[0])
     from epa_ng_tpu.ops import likelihood
+    inv_logterm = jnp.where(
+        inv_state >= 0,
+        jnp.log(pinv * freqs[jnp.maximum(inv_state, 0)]),
+        -jnp.inf)
     logl = likelihood.edge_loglikelihood(
-        buf[u0], ls[u0], buf[v0], ls[v0], P[0], freqs, cat_weights)
+        buf[u0], ls[u0], buf[v0], ls[v0], P[0], freqs, cat_weights,
+        pinv=pinv, inv_logterm=inv_logterm)
     return -logl
 
 
@@ -153,6 +163,15 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
     opt_alpha = (model.rate_het == "gamma" and model.num_ratecats > 1
                  and model.alpha_mode in (ParamValue.ML,
                                           ParamValue.UNDEFINED))
+    opt_pinv = model.pinv_mode in (ParamValue.ML, ParamValue.EMPIRICAL)
+
+    # invariant-site states (for the p-inv mixture term)
+    if model.pinv > 0 or opt_pinv:
+        masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
+        inv_state = clv_ops.invariant_states(masks, model.num_states)
+    else:
+        inv_state = np.full(ref_msa.num_sites, -1, np.int32)
+    inv_state_j = jnp.asarray(inv_state)
 
     # initial parameters
     uniq0 = np.zeros(n_free)
@@ -163,16 +182,27 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
         uniq0[:] = 1.0
     else:
         uniq0[:] = model.subst_rates[:n_free]
-    params = {
+    pinv0 = float(model.pinv) if model.pinv > 0 else (
+        0.1 if opt_pinv else 1e-12)
+    init_all = {
         "log_bl": jnp.asarray(
             np.log(np.clip(tree.edge_lengths, MIN_BL, MAX_BL)), dtype),
         "log_uniq": jnp.asarray(np.log(np.clip(uniq0, MIN_RATE, MAX_RATE)),
                                 dtype),
         "freq_logits": jnp.asarray(np.log(model.base_freqs), dtype),
+        "pinv_logit": jnp.asarray(
+            np.log(pinv0) - np.log1p(-pinv0), dtype),
     }
+    # pinv alternates as a bounded scalar (like alpha; the reference uses
+    # EM/Brent for it) — joint L-BFGS in the pinv direction is numerically
+    # fragile. Fixed parameters are closed over as constants, NOT
+    # zero-gradient entries of the optimization pytree: L-BFGS curvature
+    # estimates and line searches move zero-gradient coordinates anyway.
     frozen = {k for k, on in
               [("log_uniq", opt_rates), ("freq_logits", opt_freqs)]
-              if not on}
+              if not on} | {"pinv_logit"}
+    fixed = {k: v for k, v in init_all.items() if k in frozen}
+    params = {k: v for k, v in init_all.items() if k not in frozen}
 
     alpha = float(model.alpha)
     weights = jnp.asarray(model.ratecat_weights, dtype)
@@ -184,10 +214,21 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
             r = np.asarray(model.ratecat_rates)
         return jnp.asarray(r, dtype)
 
+    _clips = {"log_bl": (np.log(MIN_BL), np.log(MAX_BL)),
+              "log_uniq": (np.log(MIN_RATE), np.log(MAX_RATE)),
+              # keep pinv in (1e-6, 0.9): near 1 the 1/(1-pinv) time
+              # scaling overflows exp() and the loss goes numerically bogus
+              "pinv_logit": (-13.8, 2.2),
+              # frequencies live through softmax; bound the logits only
+              # against runaway drift
+              "freq_logits": (-30.0, 30.0)}
+
     def loss_fn(p, cat_rates):
-        return _neg_logl(p["log_bl"], p["log_uniq"], p["freq_logits"],
-                         basis_j, ops_arr, u0, v0, tip_clvs, cat_rates,
-                         weights, n_clvs=ops.n_clvs)
+        q = {**fixed, **p}
+        return _neg_logl(q["log_bl"], q["log_uniq"], q["freq_logits"],
+                         q["pinv_logit"], basis_j, ops_arr, u0, v0,
+                         tip_clvs, cat_rates, weights, inv_state_j,
+                         n_clvs=ops.n_clvs)
 
     value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 
@@ -195,23 +236,15 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
         opt = optax.lbfgs()
         state = opt.init(p)
 
-        def masked(g):
-            return {k: (jnp.zeros_like(v) if k in frozen else v)
-                    for k, v in g.items()}
-
         @jax.jit
         def step(p, state):
             value, grad = value_and_grad(p, cat_rates)
-            grad = masked(grad)
             updates, state = opt.update(
                 grad, state, p, value=value, grad=grad,
                 value_fn=lambda q: loss_fn(q, cat_rates))
             p = optax.apply_updates(p, updates)
             p = jax.tree.map(jnp.nan_to_num, p)
-            p["log_bl"] = jnp.clip(p["log_bl"], np.log(MIN_BL),
-                                   np.log(MAX_BL))
-            p["log_uniq"] = jnp.clip(p["log_uniq"], np.log(MIN_RATE),
-                                     np.log(MAX_RATE))
+            p = {k: jnp.clip(v, *_clips[k]) for k, v in p.items()}
             return p, state, value
         value = None
         for _ in range(steps):
@@ -228,6 +261,14 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
             def alpha_obj(a):
                 return float(loss_fn(params, cat_rates_for(a)))
             alpha, neg_new = _golden_section(alpha_obj, ALPHA_MIN, ALPHA_MAX)
+        if opt_pinv:
+            cat = cat_rates_for(alpha)
+
+            def pinv_obj(logit):
+                fixed["pinv_logit"] = jnp.asarray(logit, dtype)
+                return float(loss_fn(params, cat))
+            logit, neg_new = _golden_section(pinv_obj, -13.8, 2.2)
+            fixed["pinv_logit"] = jnp.asarray(logit, dtype)
         if abs(neg - neg_new) < OPT_EPSILON:
             neg = neg_new
             break
@@ -244,7 +285,12 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
     if opt_freqs:
         f = np.exp(np.asarray(params["freq_logits"]))
         model.base_freqs = f / f.sum()
+    if opt_pinv:
+        model.pinv = float(jax.nn.sigmoid(fixed["pinv_logit"]))
     if opt_alpha:
         model.set_alpha(alpha)
+    # recompute the final logl from the written-back state so the reported
+    # value is exactly the model the engine will use
+    neg = float(loss_fn(params, cat_rates_for(alpha)))
     log.info("Optimized model: %s, logl %.6f", model.to_string(), -neg)
     return -neg

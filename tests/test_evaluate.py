@@ -56,3 +56,21 @@ def test_optimize_respects_fixed_params():
     assert not np.allclose(tree.edge_lengths, bl0)  # branch lengths moved
     assert final >= brute_tree_loglikelihood(
         Tree.from_file(f"{D}/ref.tre"), ref, model) - 1e-6
+
+
+def test_optimize_with_pinv():
+    tree, ref = _setup()
+    model = Model.from_string("GTR+G+I")  # pinv_mode ML
+    final = optimize_model(tree, ref, model, lbfgs_steps=60)
+    assert 0.0 < model.pinv < 1.0
+    want = brute_tree_loglikelihood(tree, ref, model)
+    assert final == pytest.approx(want, abs=1e-4)
+
+
+def test_optimize_fixed_pinv():
+    tree, ref = _setup()
+    model = Model.from_string("GTR+G4{0.8}+IU{0.15}")
+    final = optimize_model(tree, ref, model, lbfgs_steps=40)
+    assert model.pinv == pytest.approx(0.15)
+    want = brute_tree_loglikelihood(tree, ref, model)
+    assert final == pytest.approx(want, abs=1e-4)
