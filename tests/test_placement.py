@@ -158,3 +158,45 @@ def test_no_heur_same_top_placement(engine, queries):
     for a, b in zip(pq_heur, pq_full):
         assert a.edge_nums[0] == b.edge_nums[0]
         assert a.logls[0] == pytest.approx(b.logls[0], abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def engine_pinv():
+    """Engine under an invariant-sites model (exercises the p-inv mixture
+    in the lookup table, the thorough path, and the ref-tree logl check)."""
+    tree = Tree.from_file(f"{D}/ref.tre")
+    info = fio.make_msa_info(f"{D}/aln.fasta")
+    msa = fio.build_msa_from_file(f"{D}/aln.fasta", info, premask=False)
+    model = Model.from_string(
+        "GTR{1.2/2.8/0.9/1.1/3.1/1}+FU{0.27/0.23/0.24/0.26}"
+        "+IU{0.2}+G4{0.7}")
+    opts = Options(premasking=False, blo_block=64)
+    return PlacementEngine(tree, msa, model, opts)
+
+
+def test_pinv_preplace_scores_match_extended_tree(engine_pinv, queries):
+    """Preplacement with p-inv: the per-(query, edge) lookup scores must
+    equal the brute-force extended-tree likelihood, whose invariant-site
+    intersection includes the query tip (reference semantics: the lookup
+    table carries a per-character invariant term, Lookup_Store analog)."""
+    codes, qmasks, ranges = engine_pinv._encode_chunk(queries)
+    scores = engine_pinv.preplace(codes, ranges)
+    for qi in [0, 1]:
+        for edge in [0, 3, 4, 9]:
+            half = engine_pinv.tree.edge_lengths[edge] / 2
+            want = _extended_brute_logl(engine_pinv, queries[qi], edge,
+                                        DEFAULT_PENDANT, half)
+            assert scores[qi, edge] == pytest.approx(want, abs=1e-6), (
+                qi, edge)
+
+
+def test_pinv_blo_matches_extended_tree(engine_pinv, queries):
+    """Thorough placement with p-inv: optimized logl == brute force of the
+    extended tree at the optimized (pendant, distal)."""
+    pqs = engine_pinv.place_chunk(queries)
+    for qi, pq in enumerate(pqs):
+        edge = int(pq.edge_nums[0])
+        want = _extended_brute_logl(engine_pinv, queries[qi], edge,
+                                    pq.pendant_lengths[0],
+                                    pq.distal_lengths[0])
+        assert pq.logls[0] == pytest.approx(want, abs=1e-6), qi
