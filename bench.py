@@ -67,37 +67,36 @@ def main():
         perm = np.argsort(ranges[:, 0], kind="stable")
         codes, qmasks, ranges = codes[perm], qmasks[perm], ranges[perm]
         tQ, invq = engine._query_tensors(qmasks)
-        # site window width computed host-side at encode time: a device
-        # array here would force a device->host sync per chunk in the hot
-        # loop, serializing dispatches
+        # static shapes computed host-side at encode time: device arrays
+        # here would force a device->host sync per chunk in the hot loop,
+        # serializing dispatches (block offsets are planned ON DEVICE
+        # after candidate compaction; only the width is static)
         W = chunk_site_width(ranges[:, 1], SITES)
-        offs_np, Wb, _ = plan_blocks(ranges[:, 0].astype(np.int32),
-                                     ranges[:, 1].astype(np.int32),
-                                     SITES, TOPK)
+        _, Wb, _ = plan_blocks(ranges[:, 0].astype(np.int32),
+                               ranges[:, 1].astype(np.int32),
+                               SITES, TOPK)
         chunks.append((
             jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
-            jnp.asarray(ranges[:, 1]), tQ, invq, W,
-            jnp.asarray(offs_np), Wb))
+            jnp.asarray(ranges[:, 1]), tQ, invq, W, Wb))
 
     thresh = jnp.asarray(opts.prescoring_threshold, engine.dtype)
 
     blo = engine.blo
 
     def step(ch):
-        codes, begins, spans, tQ, invq, W, offs, Wb = ch
+        codes, begins, spans, tQ, invq, W, Wb = ch
         use_pallas = engine._use_pallas(Wb)
         return placement_step(engine.consts, table, blo.tU, blo.tV,
                               blo.ls, blo.lengths, codes, begins, spans,
                               tQ, invq, thresh, topk=TOPK, sliding=True,
                               site_width=W,
                               use_pallas=use_pallas,
-                              block_offs=offs if use_pallas else None,
                               block_width=Wb if use_pallas else None)
 
     # warmup / compile (once per distinct shape signature)
     seen = set()
     for ch in chunks:
-        key = (ch[5], ch[7])  # (site_width, block_width)
+        key = (ch[5], ch[6])  # (site_width, block_width)
         if key not in seen:
             seen.add(key)
             jax.block_until_ready(step(ch))

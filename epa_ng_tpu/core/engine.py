@@ -362,15 +362,16 @@ class PlacementEngine:
         blo = self.blo
         topk = min(opts.fused_topk, self.num_edges)
         W = chunk_site_width(ranges[:, 1], S)
-        block_offs, Wb = None, None
+        Wb = None
         if self._use_pallas(W):
+            # only the static window WIDTH is planned host-side; the
+            # per-block offsets are computed on device after the
+            # candidate compaction (parallel.mesh.placement_step)
             from epa_ng_tpu.ops.pallas_blo import plan_blocks
-            offs_np, Wb, _ = plan_blocks(
+            _, Wb, _ = plan_blocks(
                 ranges[:, 0].astype(np.int32), ranges[:, 1].astype(np.int32),
                 S, topk)
-            if self._use_pallas(Wb):
-                block_offs = jnp.asarray(offs_np)
-            else:
+            if not self._use_pallas(Wb):
                 Wb = None
         out = placement_step(
             self.consts, self.lookup_table, blo.tU, blo.tV, blo.ls,
@@ -379,7 +380,7 @@ class PlacementEngine:
             jnp.asarray(opts.prescoring_threshold, self.dtype),
             topk=topk, sliding=opts.sliding_blo,
             site_width=W, packed=True, use_pallas=self._use_pallas(W),
-            block_offs=block_offs, block_width=Wb)
+            block_width=Wb)
         return {
             "chunk": chunk, "out": out, "perm": perm, "Qr": Qr,
             "codes": codes, "qmasks": qmasks, "ranges": ranges,
@@ -401,12 +402,17 @@ class PlacementEngine:
         edges = out[0].astype(np.int64)
         logl, lwr, pendant, distal = out[1], out[2], out[3], out[4]
         valid = out[5] > 0.5
+        computed = out[6] > 0.5
         # saturated = every top-k slot selected: the dynamic cut may have
         # wanted more candidates than the static budget (ignore the
         # padded replica rows beyond the real query count)
         saturated = valid.all(axis=1)
         if saturated[:Qr].mean() > 0.2:
             return None
+        # a live candidate the blocked kernel could not fit into its site
+        # window (block begin-spread wider than the planned static width)
+        # was not optimized -> that query re-runs exactly below
+        misfit = (valid & ~computed).any(axis=1)
 
         # row q of the outputs is original query perm[q]; rebuild the
         # pquery list in input order
@@ -414,7 +420,7 @@ class PlacementEngine:
         redo = []
         for q in range(len(chunk)):
             oq = int(perm[q])
-            if saturated[q]:
+            if saturated[q] or misfit[q]:
                 redo.append(q)
                 continue
             keep = valid[q]

@@ -60,12 +60,12 @@ def _blo_kernel(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
     outputs:  [1, PB] each
     """
     _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
-                 logl_ref, pendant_ref, distal_ref, proximal_ref, done_ref,
-                 max_smoothings=max_smoothings)
+                 None, logl_ref, pendant_ref, distal_ref, proximal_ref,
+                 done_ref, max_smoothings=max_smoothings)
 
 
-def _blo_kernel_blocked(offs_ref, xrk_ref, wG_ref, tU_hbm, tV_hbm, tQ_hbm,
-                        mask_ref, orig_ref,
+def _blo_kernel_blocked(offs_ref, act_ref, xrk_ref, wG_ref, tU_hbm, tV_hbm,
+                        tQ_hbm, mask_ref, orig_ref, skip_ref,
                         logl_ref, pendant_ref, distal_ref, proximal_ref,
                         done_ref, tU_s, tV_s, tQ_s, sems,
                         *, max_smoothings: int):
@@ -76,30 +76,52 @@ def _blo_kernel_blocked(offs_ref, xrk_ref, wG_ref, tU_hbm, tV_hbm, tQ_hbm,
     This is the TPU analog of the reference's ``shift_partition_focus``
     (src/core/pll/pll_util.cpp:388-418): compute touches only each
     read's neighborhood, not the whole alignment, while the HBM gather
-    stays a fast full-row copy."""
+    stays a fast full-row copy.
+
+    ``act_ref`` ([nb] prefetch scalars) marks blocks with any live pair:
+    fully-skipped blocks (all pairs cut by the dynamic heuristic — the
+    caller sorts dead pairs into the trailing blocks) bypass DMA and
+    compute entirely. ``skip_ref`` [1, PB] marks individual dead lanes
+    (1 = skip): their state is frozen so live lanes never wait on them."""
     p = pl.program_id(0)
-    off = pl.multiple_of(offs_ref[p], 8)
-    Wb = tU_s.shape[1]
-    copies = [
-        pltpu.make_async_copy(
-            tU_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tU_s, sems.at[0]),
-        pltpu.make_async_copy(
-            tV_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tV_s, sems.at[1]),
-        pltpu.make_async_copy(
-            tQ_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tQ_s, sems.at[2]),
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
-    _blo_compute(xrk_ref, wG_ref, tU_s, tV_s, tQ_s, mask_ref, orig_ref,
-                 logl_ref, pendant_ref, distal_ref, proximal_ref, done_ref,
-                 max_smoothings=max_smoothings)
+
+    @pl.when(act_ref[p] > 0)
+    def _run():
+        off = pl.multiple_of(offs_ref[p], 8)
+        Wb = tU_s.shape[1]
+        copies = [
+            pltpu.make_async_copy(
+                tU_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tU_s,
+                sems.at[0]),
+            pltpu.make_async_copy(
+                tV_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tV_s,
+                sems.at[1]),
+            pltpu.make_async_copy(
+                tQ_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tQ_s,
+                sems.at[2]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        _blo_compute(xrk_ref, wG_ref, tU_s, tV_s, tQ_s, mask_ref, orig_ref,
+                     skip_ref, logl_ref, pendant_ref, distal_ref,
+                     proximal_ref, done_ref, max_smoothings=max_smoothings)
+
+    @pl.when(act_ref[p] == 0)
+    def _skip():
+        dtype = tU_s.dtype
+        zero = jnp.zeros((1, PB), dtype)
+        logl_ref[...] = zero
+        pendant_ref[...] = zero
+        distal_ref[...] = zero
+        proximal_ref[...] = zero
+        done_ref[...] = zero
 
 
 def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
-                 logl_ref, pendant_ref, distal_ref, proximal_ref, done_ref,
-                 *, max_smoothings: int):
+                 skip_ref, logl_ref, pendant_ref, distal_ref, proximal_ref,
+                 done_ref, *, max_smoothings: int):
     W = tU_ref.shape[1]
     dtype = tU_ref.dtype
     tiny = jnp.finfo(dtype).tiny
@@ -108,6 +130,10 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
     # loop carries trip Mosaic layout inference.
     orig = orig_ref[...]                        # [1, PB]
     half = orig * 0.5
+    # dead lanes (skip == 1) start "done" in every loop so the lock-step
+    # while_loops never wait on their garbage data
+    skip = (skip_ref[...] if skip_ref is not None
+            else jnp.zeros((1, PB), dtype))
 
     dist_min = jnp.minimum(BRLEN_MIN / 2.0, half)
     dist_tol = dist_min / 10.0
@@ -147,7 +173,7 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
     def newton(T, xmin, xmax, xtol, guess):
         """T: list of RK [W,PB] tiles. Bounds/guess [1,PB] (or scalar)."""
         x0 = jnp.clip(guess, xmin, xmax)
-        done0 = jnp.zeros((1, PB), dtype)  # 0/1 float mask
+        done0 = skip  # 0/1 float mask; dead lanes never gate the loop
 
         def cond(carry):
             # early exit once every pair in the block converged: Newton
@@ -258,8 +284,7 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
                 done_out, T_new)
 
     state = (pendant0, half, half, neg0,
-             jnp.zeros((), jnp.int32),
-             jnp.zeros((1, PB), dtype), T_init)
+             jnp.zeros((), jnp.int32), skip, T_init)
     pendant, distal, proximal, neg_logl, _, done, _ = jax.lax.while_loop(
         smooth_cond, smooth_body, state)
 
@@ -369,7 +394,8 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
                                       offs, ls_sum,
                                       block_width: int,
                                       max_smoothings: int = SMOOTHINGS,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      skip=None, block_active=None):
     """Per-block site-window variant of :func:`blo_optimize_batch_pallas`.
 
     tUg, tVg: [NP, RK, S] fast full-row gathers (tU[e_ids]); tQg
@@ -379,12 +405,22 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
     log-scale sums (computed full-width by the caller). NP must be a
     multiple of PB; the caller pads (engine/mesh always dispatch
     power-of-two pair counts >= PB).
+
+    ``skip`` [NP] (0/1) marks dead lanes whose outputs are discarded by the
+    caller; ``block_active`` [NP/PB] int32 marks blocks with any live pair
+    — inactive blocks bypass DMA and compute entirely (the fused step
+    sorts heuristic-cut pairs to the tail so whole blocks die).
     """
     NP, RK_, S = tUg.shape
     assert RK_ == RK and NP % PB == 0, (NP, RK_)
     Wb = block_width
     dtype = tUg.dtype
     n_blocks = NP // PB
+    if skip is None:
+        skip = jnp.zeros((NP,), dtype)
+    if block_active is None:
+        block_active = jnp.ones((n_blocks,), jnp.int32)
+    skipk = skip.astype(dtype)[None, :]           # [1, NP]
 
     # pad the site dim so every block window [off, off+Wb) stays in
     # bounds with 8-aligned DMA sizes (plan_blocks plans against the
@@ -409,12 +445,12 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
     wG = (consts.weights[:, None, None, None]
           * G.transpose(2, 0, 1)[None]).reshape(RK, K * K)
 
-    out_spec = pl.BlockSpec((1, PB), lambda p, offs: (0, p),
+    out_spec = pl.BlockSpec((1, PB), lambda p, offs, act: (0, p),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((1, NP), dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                     # offs
+        num_scalar_prefetch=2,                     # offs, block_active
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # xrk
@@ -422,10 +458,12 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
             pl.BlockSpec(memory_space=pltpu.ANY),      # tU (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),      # tV (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),      # tQ (HBM)
-            pl.BlockSpec((Wb, PB), lambda p, offs: (0, p),
+            pl.BlockSpec((Wb, PB), lambda p, offs, act: (0, p),
                          memory_space=pltpu.VMEM),     # mask
-            pl.BlockSpec((1, PB), lambda p, offs: (0, p),
+            pl.BlockSpec((1, PB), lambda p, offs, act: (0, p),
                          memory_space=pltpu.VMEM),     # orig
+            pl.BlockSpec((1, PB), lambda p, offs, act: (0, p),
+                         memory_space=pltpu.VMEM),     # skip
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[
@@ -442,8 +480,8 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(offs, jnp.asarray(x_rk, dtype), jnp.asarray(wG, dtype), tUk, tVk, tQk,
-      maskk, orig)
+    )(offs, block_active, jnp.asarray(x_rk, dtype), jnp.asarray(wG, dtype),
+      tUk, tVk, tQk, maskk, orig, skipk)
 
     logl = logl[0] + ls_sum
     pendant = pendant[0]

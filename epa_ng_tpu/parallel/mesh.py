@@ -50,33 +50,11 @@ def make_mesh(n_dp: int, n_ep: int, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("dp", "ep"))
 
 
-@partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed",
-                                   "use_pallas", "block_width"))
-def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
-                   codes, begins, spans, tQ, invq, prescoring_threshold,
-                   topk: int = 8, sliding: bool = True,
-                   site_width: int | None = None, packed: bool = False,
-                   use_pallas: bool = False, block_offs=None,
-                   block_width: int | None = None):
-    """One fused placement step over a query chunk.
-
-    table: [E,C,S] preplacement lookup; tU, tV: [E,RK,S] eigen-transformed
-    edge CLVs with combined log-scale ls: [E,S] (newton.transform_edges);
-    codes: [Q,S]; tQ: [Q,K,S] eigen-transformed query tips
-    (newton.transform_queries); invq: [Q,S] p-inv log term. Returns per
-    query the top-k candidate (edges, logl, lwr, pendant, distal,
-    valid-mask), all [Q,topk].
-
-    ``site_width``: static window width (>= every query's valid-range span)
-    for the thorough stage; the Newton batch then computes only a
-    per-query site window instead of the full alignment — the short-read
-    premasking payoff. None = full width.
-    """
+def _preplace_scores(table, codes, begins, spans):
+    """[Q, E] preplacement scores: masked one-hot MXU contraction
+    (precision-split like ops.lookup.preplace_scores)."""
     dtype = table.dtype
     E, C, S = table.shape
-
-    # --- preplacement scores: masked one-hot MXU contraction
-    # (precision-split like ops.lookup.preplace_scores)
     onehot = (codes[:, None, :] == jnp.arange(C)[None, :, None])
     onehot = onehot.astype(dtype)
     site = jnp.arange(S)
@@ -85,18 +63,73 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     in_range_f = in_range.astype(dtype)
     onehot = onehot * in_range_f[:, None, :]
     mean = jnp.mean(table, axis=1)
-    scores = (jnp.einsum("qcs,ecs->qe", onehot, table - mean[:, None, :],
-                         preferred_element_type=dtype)
-              + jnp.einsum("qs,es->qe", in_range_f, mean,
-                           preferred_element_type=dtype, precision=_PP))
+    return (jnp.einsum("qcs,ecs->qe", onehot, table - mean[:, None, :],
+                       preferred_element_type=dtype)
+            + jnp.einsum("qs,es->qe", in_range_f, mean,
+                         preferred_element_type=dtype, precision=_PP))
 
-    # --- dynamic-heuristic candidate selection within a static top-k
+
+def _select_topk(scores, threshold, topk: int):
+    """Dynamic-heuristic cut within a static top-k budget: returns
+    (top_edges [Q,k] int32, valid [Q,k] bool prefix mask, top_scores).
+    valid[q] marks the candidate prefix kept by the accumulated-LWR rule
+    (reference dynamic_heuristic, src/core/heuristics.hpp:66-88; same
+    prefix-excludes-own-LWR convention as core.heuristics.candidate_mask)."""
     top_scores, top_edges = jax.lax.top_k(scores, topk)      # [Q,k]
     ex = jnp.exp(scores - top_scores[:, :1])
     denom = jnp.sum(ex, axis=1, keepdims=True)
     lwr_pre = jnp.exp(top_scores - top_scores[:, :1]) / denom
     prefix = jnp.cumsum(lwr_pre, axis=1) - lwr_pre
-    valid = prefix < prescoring_threshold                    # [Q,k]
+    valid = prefix < threshold                               # [Q,k]
+    return top_edges.astype(jnp.int32), valid, top_scores
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def preplace_select(table, codes, begins, spans, threshold, topk: int):
+    """Dispatch half of the two-phase fast path: preplacement scores +
+    dynamic-heuristic candidate cut on device; only the [Q, topk] candidate
+    ids/mask transfer to the host, which compacts the (query, edge) pairs
+    for the blocked Newton dispatch (engine._thorough). Splitting here (vs
+    the single fused placement_step) lets the thorough stage run on ~the
+    valid pairs only — with the reference's default 0.99999 accumulated-LWR
+    threshold roughly half the static top-k budget is invalid."""
+    scores = _preplace_scores(table, codes, begins, spans)
+    top_edges, valid, _ = _select_topk(scores, threshold, topk)
+    return top_edges, valid
+
+
+@partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed",
+                                   "use_pallas", "block_width"))
+def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
+                   codes, begins, spans, tQ, invq, prescoring_threshold,
+                   topk: int = 8, sliding: bool = True,
+                   site_width: int | None = None, packed: bool = False,
+                   use_pallas: bool = False,
+                   block_width: int | None = None):
+    """One fused placement step over a query chunk.
+
+    table: [E,C,S] preplacement lookup; tU, tV: [E,RK,S] eigen-transformed
+    edge CLVs with combined log-scale ls: [E,S] (newton.transform_edges);
+    codes: [Q,S]; tQ: [Q,K,S] eigen-transformed query tips
+    (newton.transform_queries); invq: [Q,S] p-inv log term. Returns per
+    query the top-k candidate (edges, logl, lwr, pendant, distal,
+    valid-mask, computed-mask), all [Q,topk].
+
+    ``site_width``: static window width (>= every query's valid-range span)
+    for the thorough stage; the Newton batch then computes only a
+    per-query site window instead of the full alignment — the short-read
+    premasking payoff. None = full width. ``block_width``: static window
+    width of the blocked Pallas path (ops.pallas_blo.plan_blocks); block
+    site offsets are planned on device after the candidate compaction.
+    """
+    dtype = table.dtype
+    E, C, S = table.shape
+    site = jnp.arange(S)
+
+    scores = _preplace_scores(table, codes, begins, spans)
+
+    # --- dynamic-heuristic candidate selection within a static top-k
+    top_edges, valid, _ = _select_topk(scores, prescoring_threshold, topk)
 
     # --- thorough placement on all (query, top-k edge) pairs
     Q = codes.shape[0]
@@ -104,44 +137,79 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     RK = tU.shape[1]
     Kst = tQ.shape[1]
 
-    if use_pallas and block_offs is not None:
-        # blocked-window path: fast full-row gathers; each Pallas
-        # pair-block DMAs only its own site window (queries must arrive
-        # sorted by range begin — ops.pallas_blo.plan_blocks)
+    if use_pallas and block_width is not None:
+        # blocked-window path with in-dispatch candidate compaction: live
+        # pairs sort to the front (begin-ordered, so each 128-pair block
+        # covers a tight site window), heuristic-cut pairs sink to the
+        # tail where whole blocks deactivate — with the default 0.99999
+        # accumulated-LWR cut roughly half the static top-k budget is
+        # dead, and a host-side compaction would cost a device->host
+        # round trip per chunk instead (tens of ms through a TPU tunnel).
         from epa_ng_tpu.ops.pallas_blo import (
             PB, blo_optimize_batch_pallas_blocked)
         B = Q * topk
-        NP = block_offs.shape[0] * PB
-        q_ids = jnp.repeat(jnp.arange(Q), topk)
+        n_blocks = -(-B // PB)
+        NP = n_blocks * PB
+        Wb = block_width
+        q_ids0 = jnp.repeat(jnp.arange(Q), topk)
+        flat_valid = valid.reshape(-1)
+        pb0 = begins[q_ids0].astype(jnp.int32)
+        big = jnp.int32(1) << jnp.int32(24)
+        order = jnp.argsort(jnp.where(flat_valid, 0, big) + pb0)   # [B]
+
+        def padn(x):
+            if NP == B:
+                return x
+            return jnp.concatenate([x, jnp.repeat(x[-1:], NP - B)])
+
+        flat_e_p = padn(flat_e[order])
+        q_ids_p = padn(q_ids0[order])
+        pb_p = padn(pb0[order])
+        sp_p = spans[q_ids_p].astype(jnp.int32)
+        live_p = padn(flat_valid[order].astype(jnp.int32)) > 0
         if NP > B:
-            flat_e_p = jnp.concatenate(
-                [flat_e, jnp.repeat(flat_e[-1:], NP - B)])
-            q_ids_p = jnp.concatenate(
-                [q_ids, jnp.repeat(q_ids[-1:], NP - B)])
-        else:
-            flat_e_p, q_ids_p = flat_e, q_ids
+            live_p = live_p.at[B:].set(False)
+
+        # per-block window offsets from the LIVE pairs only (dead pairs'
+        # windows are irrelevant — their results are discarded)
+        S_pad = max(-(-S // 128) * 128, Wb)
+        pbm = jnp.where(live_p, pb_p, big).reshape(n_blocks, PB)
+        offs = (jnp.min(pbm, axis=1) // 8) * 8
+        offs = jnp.clip(offs, 0, S_pad - Wb).astype(jnp.int32)
+        local = pb_p - jnp.repeat(offs, PB)
+        # a live pair can only miss its block window when the block's
+        # begin spread exceeds Wb (possible since Wb was planned for the
+        # denser all-pairs ordering); such pairs are flagged uncomputed
+        # and the engine re-runs them exactly (rare: none on typical
+        # short-read chunks)
+        fits = live_p & (local + sp_p <= Wb)
+        block_active = jnp.any(fits.reshape(n_blocks, PB),
+                               axis=1).astype(jnp.int32)
         tUg = tU[flat_e_p]
         tVg = tV[flat_e_p]
         tQg = tQ[q_ids_p]
-        pb = begins[q_ids_p]
-        pe = pb + spans[q_ids_p]
-        fullmask = ((site[None, :] >= pb[:, None])
-                    & (site[None, :] < pe[:, None])).astype(dtype)
+        fullmask = ((site[None, :] >= pb_p[:, None])
+                    & (site[None, :] < (pb_p + sp_p)[:, None])).astype(dtype)
         ls_sum = jnp.sum(fullmask * ls[flat_e_p], axis=1)
-        local = pb - jnp.repeat(block_offs, PB)
-        wsite = jnp.arange(block_width)
+        wsite = jnp.arange(Wb)
         bmask = ((wsite[None, :] >= local[:, None])
-                 & (wsite[None, :] < (local + spans[q_ids_p])[:, None]))
-        logl, pendant, distal_rep, _, _, _ = (
+                 & (wsite[None, :] < (local + sp_p)[:, None])
+                 & fits[:, None])
+        logl_s, pendant_s, distal_s, _, _, _ = (
             blo_optimize_batch_pallas_blocked(
                 consts, tUg, tVg, tQg, bmask.astype(dtype),
-                lengths[flat_e_p], block_offs, ls_sum,
-                block_width=block_width))
-        logl = logl[:B].reshape(Q, topk)
-        pendant = pendant[:B].reshape(Q, topk)
-        distal = distal_rep[:B].reshape(Q, topk)
+                lengths[flat_e_p], offs, ls_sum, block_width=Wb,
+                skip=1.0 - fits.astype(dtype), block_active=block_active))
+
+        def unsort(x):
+            return jnp.zeros((B,), x.dtype).at[order].set(x[:B])
+
+        logl = unsort(logl_s).reshape(Q, topk)
+        pendant = unsort(pendant_s).reshape(Q, topk)
+        distal = unsort(distal_s).reshape(Q, topk)
+        computed = unsort(fits[:B].astype(dtype)).reshape(Q, topk)
         return _step_epilogue(top_edges, logl, pendant, distal, valid,
-                              dtype, packed)
+                              dtype, packed, computed=computed)
 
     W = S if site_width is None else min(site_width, S)
     win_begin = jnp.minimum(begins, S - W)
@@ -182,19 +250,24 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
 
 
 def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
-                   packed: bool):
-    # --- LWR over the valid candidates
+                   packed: bool, computed=None):
+    # --- LWR over the valid (and actually computed) candidates; a valid
+    # pair the blocked kernel could not fit into its site window must not
+    # poison the softmax — its query is re-run exactly by the engine
+    if computed is None:
+        computed = valid.astype(dtype)
+    ok = valid & (computed > 0)
     neg_inf = jnp.asarray(-jnp.inf, dtype)
-    masked_logl = jnp.where(valid, logl, neg_inf)
+    masked_logl = jnp.where(ok, logl, neg_inf)
     m = jnp.max(masked_logl, axis=1, keepdims=True)
-    exl = jnp.where(valid, jnp.exp(masked_logl - m), 0.0)
+    exl = jnp.where(ok, jnp.exp(masked_logl - m), 0.0)
     lwr = exl / jnp.sum(exl, axis=1, keepdims=True)
 
     if packed:
-        # one [6, Q, topk] array => a single device->host transfer
+        # one [7, Q, topk] array => a single device->host transfer
         return jnp.stack([top_edges.astype(dtype), logl, lwr, pendant,
-                          distal, valid.astype(dtype)])
-    return top_edges, logl, lwr, pendant, distal, valid
+                          distal, valid.astype(dtype), computed])
+    return top_edges, logl, lwr, pendant, distal, valid, computed
 
 
 class ShardedPlacement:
