@@ -27,7 +27,7 @@ REFERENCE_NODE_QPS = 310.0
 N_TAXA = 512
 SITES = 512
 N_QUERIES = 2048
-CHUNK = 256
+CHUNK = 512
 TOPK = 8
 
 

@@ -72,6 +72,15 @@ def decompose(model) -> EigenModel:
     B = sqrt_pi[:, None] * Q / sqrt_pi[None, :]
     B = (B + B.T) / 2  # clean numerical asymmetry
     eigvals, W = np.linalg.eigh(B)
+    # a CTMC generator has one zero eigenvalue (the stationary mode) and
+    # the rest negative; eigh returns ascending order, so the last entry
+    # is the zero one up to rounding. Snap it exactly: exp(0*t) == 1 then
+    # holds bit-exactly, and the Pallas Newton kernel statically skips the
+    # zero-exponent lanes (ops.pallas_blo._blo_compute).
+    if not (eigvals[-1] > -1e-8 and abs(eigvals[-1]) < 1e-8):
+        raise ValueError(
+            f"rate matrix eigenvalues not CTMC-like: {eigvals}")
+    eigvals[-1] = 0.0
     A = W / sqrt_pi[:, None]
     Ainv = W.T * sqrt_pi[None, :]
     return EigenModel(

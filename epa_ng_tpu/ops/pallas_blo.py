@@ -139,8 +139,17 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
     dist_tol = dist_min / 10.0
     dist_max = orig - dist_tol
 
-    def exps(t):  # [1, PB] -> list of RK [1, PB] vectors
-        return [jnp.exp(xrk_ref[j, 0] * t) for j in range(RK)]
+    # the CTMC's zero eigenvalue sits at state index K-1 (eigh ascending;
+    # ops.eigen.decompose snaps it to exactly 0.0), so the j = r*K + (K-1)
+    # exponent lanes are exp(0*t) == 1 and their first/second-derivative
+    # contributions are exactly zero — skip them statically (None marks an
+    # identity exponential)
+    def exps(t):  # [1, PB] -> list of RK entries ([1, PB] or None)
+        return [None if j % K == K - 1 else jnp.exp(xrk_ref[j, 0] * t)
+                for j in range(RK)]
+
+    def emul(x, e):  # x * exp-factor, eliding the identity lanes
+        return x if e is None else x * e
 
     def build_T(lp, ld, q_slices):
         """T[j] (j = r*K+k3) = sum_{k1,k2} wG[j,k1k2] e1_{rk1} e2_{rk2}
@@ -151,8 +160,8 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         scalar-coefficient FMAs."""
         e1 = exps(lp)
         e2 = exps(ld)
-        uU = [tU_ref[j] * e1[j] for j in range(RK)]
-        uV = [tV_ref[j] * e2[j] for j in range(RK)]
+        uU = [emul(tU_ref[j], e1[j]) for j in range(RK)]
+        uV = [emul(tV_ref[j], e2[j]) for j in range(RK)]
         T = [None] * RK
         for r in range(R):
             for k1 in range(K):
@@ -189,9 +198,11 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
             f1 = jnp.zeros((W, PB), dtype)
             f2 = jnp.zeros((W, PB), dtype)
             for j in range(RK):
-                xj = xrk_ref[j, 0]
-                tE = T[j] * E[j]
+                tE = emul(T[j], E[j])
                 f0 += tE
+                if E[j] is None:  # zero-eigenvalue lane: x_j == 0 exactly
+                    continue
+                xj = xrk_ref[j, 0]
                 f1 += tE * xj
                 f2 += tE * (xj * xj)
             g = jnp.maximum(f0, tiny)
@@ -217,7 +228,7 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         Eq = exps(lq)
         f = jnp.zeros((W, PB), dtype)
         for j in range(RK):
-            f += T[j] * Eq[j]
+            f += emul(T[j], Eq[j])
         g = jnp.maximum(f, tiny)
         return jnp.sum(mask * jnp.log(g), axis=0, keepdims=True)  # [1, PB]
 
@@ -249,8 +260,8 @@ def _blo_compute(xrk_ref, wG_ref, tU_ref, tV_ref, tQ_ref, mask_ref, orig_ref,
         # (tU, tQ*e(lq)) ... implemented by treating V as the "query" slot:
         Eq = exps(new_pendant)
         e1 = exps(proximal)
-        uU = [tU_ref[j] * e1[j] for j in range(RK)]
-        uQ = [tQ_ref[j % K] * Eq[j] for j in range(RK)]
+        uU = [emul(tU_ref[j], e1[j]) for j in range(RK)]
+        uQ = [emul(tQ_ref[j % K], Eq[j]) for j in range(RK)]
         T2 = [None] * RK
         for r in range(R):
             for k1 in range(K):
@@ -455,9 +466,9 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # xrk
             pl.BlockSpec(memory_space=pltpu.SMEM),     # wG
-            pl.BlockSpec(memory_space=pltpu.ANY),      # tU (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # tV (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # tQ (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # tU (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # tV (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # tQ (HBM)
             pl.BlockSpec((Wb, PB), lambda p, offs, act: (0, p),
                          memory_space=pltpu.VMEM),     # mask
             pl.BlockSpec((1, PB), lambda p, offs, act: (0, p),
