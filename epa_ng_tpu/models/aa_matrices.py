@@ -4,18 +4,16 @@
 the PAML / libpll order ARNDCQEGHILKMFPSTWYV and rates covering the upper
 triangle row-major (AR, AN, AD, ..., WY).
 
-The registry starts empty: the classic tables (LG, WAG, JTT, ...) are large
-numeric constants that we refuse to reproduce from memory without a
-verifiable source (this environment has no network access and no copy of the
-published tables). Protein placement is fully supported through:
+Built in: LG, WAG, JTT, DAYHOFF — the published tables every phylogenetics
+package redistributes (provenance in epa_ng_tpu.models.aa_data). Everything
+else is supported through:
 
-- ``PROTGTR{...190 rates...}+FU{...20 freqs...}`` descriptor strings, and
+- ``PROTGTR{...190 rates...}+FU{...20 freqs...}`` descriptor strings,
 - model files from RAxML8 ``-f e`` / raxml-ng / IQ-TREE runs, which embed the
-  estimated rates and frequencies (see epa_ng_tpu.io.model_files).
-
-Drop a ``<NAME>.npz`` file with arrays ``rates`` and ``freqs`` into the
-directory pointed at by ``EPA_NG_TPU_AA_DATA`` to register additional named
-matrices at import time.
+  estimated rates and frequencies (see epa_ng_tpu.io.model_files), and
+- ``<NAME>.npz`` files with arrays ``rates`` and ``freqs`` dropped into the
+  directory pointed at by ``EPA_NG_TPU_AA_DATA``, registered at import time
+  (npz entries override same-named builtins).
 """
 
 from __future__ import annotations
@@ -24,7 +22,9 @@ import os
 
 import numpy as np
 
-MATRICES: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+from epa_ng_tpu.models.aa_data import builtin_matrices
+
+MATRICES: dict[str, tuple[np.ndarray, np.ndarray]] = builtin_matrices()
 
 
 def _load_external():

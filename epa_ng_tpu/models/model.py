@@ -130,6 +130,17 @@ def _aa_registry() -> dict:
     return aa_matrices.MATRICES
 
 
+# All protein model names the reference's pll-modules DB resolves
+# (pllmod_util_model_info_protein): used for data-type autodetection so an
+# unregistered-but-known name yields a protein-specific error pointing at
+# the npz registry instead of a generic "invalid model".
+_KNOWN_AA_NAMES = frozenset({
+    "DAYHOFF", "LG", "DCMUT", "JTT", "MTREV", "WAG", "RTREV", "CPREV",
+    "VT", "BLOSUM62", "MTMAM", "MTART", "MTZOA", "PMB", "HIVB", "HIVW",
+    "JTT-DCMUT", "JTTDCMUT", "FLU", "STMTREV", "LG4M", "LG4X", "PROTGTR",
+})
+
+
 class ModelError(ValueError):
     pass
 
@@ -177,7 +188,7 @@ class Model:
                 data_type = DataType.BINARY
             elif name_u in _DNA_MODELS:
                 data_type = DataType.DNA
-            elif name_u == "PROTGTR" or name_u in _aa_registry():
+            elif (name_u in _KNOWN_AA_NAMES or name_u in _aa_registry()):
                 data_type = DataType.PROTEIN
             else:
                 raise ModelError(f"Invalid model name: {name}")
@@ -221,8 +232,11 @@ class Model:
             else:
                 reg = _aa_registry()
                 if name_u not in reg:
+                    hint = (" (a known pll model name — provide its table "
+                            "as an npz via EPA_NG_TPU_AA_DATA)"
+                            if name_u in _KNOWN_AA_NAMES else "")
                     raise ModelError(
-                        f"Invalid or unavailable protein model: {name}. "
+                        f"Invalid or unavailable protein model: {name}{hint}. "
                         f"Available: PROTGTR, {', '.join(sorted(reg))}")
                 rates, freqs = reg[name_u]
                 model.subst_rates = np.asarray(rates, dtype=np.float64)

@@ -94,3 +94,63 @@ def test_aa_place_cli(aa_setup):
     assert rc == 0
     doc = json.load(open(tmp + "/epa_result.jplace"))
     assert sorted(p["n"][0] for p in doc["placements"]) == ["Carp", "Rat"]
+
+
+def test_lg_gamma_placement(aa_setup):
+    """BASELINE config 3 verbatim: LG+G named-model placement. Preplacement
+    scores cross-checked against an independent scipy-expm brute force of
+    the extended tree likelihood."""
+    _, tree_file = aa_setup
+    model = Model.from_string("LG+G4{0.75}")
+    tree = Tree.from_file(tree_file)
+    ref_info = fio.make_msa_info(f"{D}/AA_aln.fasta")
+    qry_info = fio.make_msa_info(f"{D}/AA_query.fasta")
+    fio.MSAInfo.or_mask(ref_info, qry_info)
+    ref = fio.build_msa_from_file(f"{D}/AA_aln.fasta", ref_info, True)
+    qry = fio.build_msa_from_file(f"{D}/AA_query.fasta", qry_info, True)
+    eng = PlacementEngine(tree, ref, model, Options(blo_block=32))
+    assert np.isfinite(eng.ref_tree_logl)
+
+    from epa_ng_tpu.ops.newton import DEFAULT_PENDANT
+    from tests.reference_impl import brute_tree_loglikelihood
+    from tests.test_placement import attach_query_newick
+    codes, qmasks, ranges = eng._encode_chunk(qry)
+    scores = eng.preplace(codes, ranges)
+    checked = 0
+    for edge in [0, 4, 9]:
+        half = tree.edge_lengths[edge] / 2
+        nwk = attach_query_newick(tree, edge, DEFAULT_PENDANT, half)
+        ext = Tree.from_string(nwk)
+        msa2 = fio.MSA(num_sites=ref.num_sites)
+        msa2.sequences = list(ref.sequences)
+        msa2.append("QUERY", qry[0].sequence)
+        want = brute_tree_loglikelihood(ext, msa2, model)
+        b, s = ranges[0]
+        if b == 0 and s == ref.num_sites:
+            assert scores[0, edge] == pytest.approx(want, abs=1e-5)
+            checked += 1
+    assert checked > 0
+
+    pqs = eng.place_chunk(qry)
+    assert [pq.headers[0] for pq in pqs] == ["Rat", "Carp"]
+    for pq in pqs:
+        assert np.isfinite(pq.logls).all()
+        assert np.all(pq.lwrs >= 0) and pq.lwrs.sum() <= 1 + 1e-6
+
+
+def test_dayhoff_zero_rates_placement(aa_setup):
+    """Dayhoff's structural zero exchangeabilities must survive the
+    eigendecomposition path (reference: libpll handles zero rates)."""
+    _, tree_file = aa_setup
+    model = Model.from_string("DAYHOFF+G4{0.9}")
+    tree = Tree.from_file(tree_file)
+    ref_info = fio.make_msa_info(f"{D}/AA_aln.fasta")
+    qry_info = fio.make_msa_info(f"{D}/AA_query.fasta")
+    fio.MSAInfo.or_mask(ref_info, qry_info)
+    ref = fio.build_msa_from_file(f"{D}/AA_aln.fasta", ref_info, True)
+    qry = fio.build_msa_from_file(f"{D}/AA_query.fasta", qry_info, True)
+    eng = PlacementEngine(tree, ref, model, Options(blo_block=32))
+    assert np.isfinite(eng.ref_tree_logl)
+    pqs = eng.place_chunk(qry)
+    for pq in pqs:
+        assert np.isfinite(pq.logls).all()

@@ -138,3 +138,44 @@ def test_gamma_median_mode_values():
     rates = discrete_gamma_rates(0.5, 4, "median")
     assert (rates * 0.25).sum() == pytest.approx(1.0)
     assert np.all(np.diff(rates) > 0)
+
+
+def test_builtin_aa_matrices():
+    """LG/WAG/JTT/DAYHOFF are baked in (reference: pllmod_util model DB,
+    reached via src/core/raxml/Model.cpp name lookup)."""
+    from epa_ng_tpu.models.aa_matrices import MATRICES
+
+    for name in ("LG", "WAG", "JTT", "DAYHOFF"):
+        rates, freqs = MATRICES[name]
+        assert rates.shape == (190,)
+        assert freqs.shape == (20,)
+        assert freqs.sum() == pytest.approx(1.0)
+        assert (freqs > 0).all()
+        assert (rates >= 0).all() and rates.max() > 0
+        m = Model.from_string(name + "+G4{0.7}")
+        assert m.num_states == 20
+        assert m.num_ratecats == 4
+
+    # spot values from the published tables (PAML order, upper triangle):
+    # LG r(A,R)=0.425093 (Le & Gascuel 2008); WAG r(A,R)=0.551571
+    # (Whelan & Goldman 2001); Dayhoff has structural zeros (e.g. r(N,R)=32,
+    # r(D,N)=905 with r(D,R)=0 in the 1978 counts).
+    assert MATRICES["LG"][0][0] == pytest.approx(0.425093)
+    assert MATRICES["WAG"][0][0] == pytest.approx(0.551571)
+    assert MATRICES["JTT"][0][0] == pytest.approx(58.0)
+    assert (MATRICES["DAYHOFF"][0] == 0).sum() > 0  # structural zeros ok
+
+
+def test_builtin_aa_symmetric_expansion():
+    # the flat vector must correspond to a symmetric exchangeability matrix
+    from epa_ng_tpu.models.aa_matrices import MATRICES
+    iu = np.triu_indices(20, k=1)
+    for name in ("LG", "WAG"):
+        rates, _ = MATRICES[name]
+        m = np.zeros((20, 20))
+        m[iu] = rates
+        m = m + m.T
+        assert np.allclose(m, m.T)
+        # aromatic W<->Y exchange is among the largest in both tables
+        order = np.argsort(rates)
+        assert rates[order[-1]] > 5
