@@ -26,7 +26,10 @@ REFERENCE_NODE_QPS = 310.0
 
 N_TAXA = 512
 SITES = 512
-N_QUERIES = 2048
+# enough chunks that the one final device sync (~20 ms through the TPU
+# tunnel) amortizes away, matching the streaming engine's steady state
+# (it queues chunk steps and only syncs when draining results)
+N_QUERIES = 8192
 CHUNK = 512
 TOPK = 8
 
@@ -35,6 +38,9 @@ def main():
     import numpy as np
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/epa_ng_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from epa_ng_tpu.core.engine import PlacementEngine
