@@ -57,6 +57,10 @@ class PlacementEngine:
         self.dtype = (jnp.float64 if self.options.compute_dtype == "f64"
                       else jnp.float32)
 
+        if model.submodels is not None and model.pinv > 0:
+            raise ValueError(
+                "p-inv is not supported together with matrix-mixture "
+                "models (LG4M/LG4X)")
         if model.empirical_base_freqs:
             masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
             model.base_freqs = empirical_frequencies(masks, model.num_states)

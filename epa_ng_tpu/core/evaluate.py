@@ -144,6 +144,10 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
     import optax
 
     from epa_ng_tpu.ops import clv as clv_ops
+    if getattr(model, "submodels", None):
+        raise ValueError(
+            "--opt-model does not support matrix-mixture models "
+            "(LG4M/LG4X); their matrices are fixed model data")
     ops = build_tree_ops(tree)
     tip_clvs = jnp.asarray(
         clv_ops.tip_clv_matrix(tree, ref_msa, model.num_states), dtype)

@@ -130,6 +130,11 @@ def _aa_registry() -> dict:
     return aa_matrices.MATRICES
 
 
+def _aa_mixtures() -> dict:
+    from epa_ng_tpu.models import aa_matrices
+    return aa_matrices.MIXTURES
+
+
 # All protein model names the reference's pll-modules DB resolves
 # (pllmod_util_model_info_protein): used for data-type autodetection so an
 # unregistered-but-known name yields a protein-specific error pointing at
@@ -152,6 +157,11 @@ class Model:
     num_states: int = 4
     subst_rates: np.ndarray = None      # full rate vector (6 or 190)
     base_freqs: np.ndarray = None       # [states]
+    # mixture models (LG4M/LG4X): one (rates[190], freqs[20]) per rate
+    # category; when set, subst_rates/base_freqs mirror component 0 and
+    # num_ratecats == len(submodels) (reference: src/core/raxml/Model.cpp:
+    # 154-208 init_mix_model / _submodels)
+    submodels: Optional[list] = None
     rate_sym: Optional[str] = None      # symmetry string (DNA custom models)
     gt_dna_sym: Optional[str] = None    # genotype models: DNA-level symmetry
     alpha: float = 1.0
@@ -188,7 +198,8 @@ class Model:
                 data_type = DataType.BINARY
             elif name_u in _DNA_MODELS:
                 data_type = DataType.DNA
-            elif (name_u in _KNOWN_AA_NAMES or name_u in _aa_registry()):
+            elif (name_u in _KNOWN_AA_NAMES or name_u in _aa_registry()
+                  or name_u in _aa_mixtures()):
                 data_type = DataType.PROTEIN
             else:
                 raise ModelError(f"Invalid model name: {name}")
@@ -229,6 +240,21 @@ class Model:
                 model.rates_mode = ParamValue.ML
                 model.subst_rates = np.full(nr, 0.5)
                 model.subst_rates[-1] = 1.0
+            elif name_u in _aa_mixtures():
+                # per-rate-category matrix mixture (LG4M/LG4X-style):
+                # one Q matrix per category; LG4M couples the category
+                # rates to discrete Gamma, LG4X uses free rates+weights
+                # (reference: Model.cpp:154-208, pll-modules protmix DB)
+                comps, mixtype = _aa_mixtures()[name_u]
+                model.submodels = [(np.asarray(r, np.float64),
+                                    np.asarray(f, np.float64))
+                                   for r, f in comps]
+                model.num_ratecats = len(comps)
+                model.rate_het = mixtype
+                model.subst_rates = model.submodels[0][0]
+                model.base_freqs = model.submodels[0][1]
+                model.rates_mode = ParamValue.MODEL
+                model.freqs_mode = ParamValue.MODEL
             else:
                 reg = _aa_registry()
                 if name_u not in reg:
@@ -355,6 +381,10 @@ class Model:
                 raise ModelError(f"Wrong model specification near: {c}{opts}")
 
     def _set_user_rates(self, user_rates: np.ndarray):
+        if self.submodels is not None:
+            raise ModelError(
+                "User substitution rates cannot override a mixture model's "
+                "per-category matrices")
         nr = _n_rates(self.num_states)
         if self.data_type == DataType.DIPLOID10 and self.gt_dna_sym is not None:
             # user supplies the DNA-level rates (as many as the model's
@@ -397,6 +427,16 @@ class Model:
 
     def _finalize(self, equal_freqs_model: bool):
         n = self.num_states
+        if self.submodels is not None:
+            if self.num_ratecats != len(self.submodels):
+                raise ModelError(
+                    f"Mixture model {self.name} has {len(self.submodels)} "
+                    f"components but {self.num_ratecats} rate categories "
+                    "were specified (they must match)")
+            if self.freqs_mode not in (ParamValue.MODEL,):
+                raise ModelError(
+                    "Frequency options cannot override a mixture model's "
+                    "per-category frequencies")
         if equal_freqs_model:
             self.freqs_mode = ParamValue.MODEL
             self.base_freqs = np.full(n, 1.0 / n)

@@ -256,8 +256,12 @@ def _reference_state_jit(ops_arr, u_idx, v_idx, tip_clvs, edge_lengths,
     from epa_ng_tpu.ops import likelihood
     t = edge_lengths[:, None] * rates / (1.0 - pinv)
     expd = jnp.exp(t[..., None] * eigenvals)              # [E, R, K]
-    P = jnp.maximum(
-        jnp.einsum("ik,...k,kj->...ij", A, expd, Ainv, precision=_PP), 0.0)
+    if A.ndim == 3:   # matrix mixture: per-category eigen systems
+        P = jnp.maximum(jnp.einsum("rik,erk,rkj->erij", A, expd, Ainv,
+                                   precision=_PP), 0.0)
+    else:
+        P = jnp.maximum(
+            jnp.einsum("ik,...k,kj->...ij", A, expd, Ainv, precision=_PP), 0.0)
     buf, ls = _compute_clvs_core(ops_arr, P, tip_clvs, n_clvs,
                                  rates.shape[0])
     U, V, lsU, lsV = buf[u_idx], buf[v_idx], ls[u_idx], ls[v_idx]

@@ -46,28 +46,35 @@ def build_rate_matrix(subst_rates: np.ndarray, freqs: np.ndarray) -> np.ndarray:
 @dataclass
 class EigenModel:
     """Eigendecomposition of the (symmetrized) rate matrix plus the
-    rate-heterogeneity data needed to produce transition matrices."""
-    eigenvals: np.ndarray    # [K]
-    A: np.ndarray            # right eigenvectors, diag(1/sqrt(pi)) W  [K,K]
-    Ainv: np.ndarray         # W^T diag(sqrt(pi))                      [K,K]
-    freqs: np.ndarray        # [K]
+    rate-heterogeneity data needed to produce transition matrices.
+
+    For matrix-mixture models (LG4M/LG4X: one Q per rate category,
+    reference src/core/raxml/Model.cpp:154-208) the eigen system is
+    per-category: eigenvals [R,K], A/Ainv [R,K,K], freqs [R,K]."""
+    eigenvals: np.ndarray    # [K] | [R,K]
+    A: np.ndarray            # right eigenvectors, diag(1/sqrt(pi)) W  [K,K] | [R,K,K]
+    Ainv: np.ndarray         # W^T diag(sqrt(pi))                      [K,K] | [R,K,K]
+    freqs: np.ndarray        # [K] | [R,K]
     rates: np.ndarray        # rate category rates [R]
     weights: np.ndarray      # rate category weights [R]
     pinv: float
 
     @property
+    def mixture(self) -> bool:
+        return self.A.ndim == 3
+
+    @property
     def num_states(self) -> int:
-        return len(self.freqs)
+        return self.freqs.shape[-1]
 
     @property
     def num_rates(self) -> int:
         return len(self.rates)
 
 
-def decompose(model) -> EigenModel:
-    """EigenModel from an epa_ng_tpu.models.Model."""
-    freqs = np.asarray(model.base_freqs, dtype=np.float64)
-    Q = build_rate_matrix(np.asarray(model.subst_rates, np.float64), freqs)
+def _decompose_one(subst_rates: np.ndarray, freqs: np.ndarray):
+    """(eigenvals [K], A [K,K], Ainv [K,K]) for one Q matrix."""
+    Q = build_rate_matrix(np.asarray(subst_rates, np.float64), freqs)
     sqrt_pi = np.sqrt(freqs)
     B = sqrt_pi[:, None] * Q / sqrt_pi[None, :]
     B = (B + B.T) / 2  # clean numerical asymmetry
@@ -83,11 +90,30 @@ def decompose(model) -> EigenModel:
     eigvals[-1] = 0.0
     A = W / sqrt_pi[:, None]
     Ainv = W.T * sqrt_pi[None, :]
+    return eigvals, A, Ainv
+
+
+def decompose(model) -> EigenModel:
+    """EigenModel from an epa_ng_tpu.models.Model."""
+    rates = np.asarray(model.ratecat_rates, np.float64)
+    weights = np.asarray(model.ratecat_weights, np.float64)
+    if getattr(model, "submodels", None):
+        # matrix mixture: one eigen system per rate category, each Q
+        # individually normalized to mean rate 1 (pll protmix semantics)
+        evs, As, Ainvs, fqs = [], [], [], []
+        for sub_rates, sub_freqs in model.submodels:
+            f = np.asarray(sub_freqs, np.float64)
+            ev, A, Ainv = _decompose_one(sub_rates, f)
+            evs.append(ev); As.append(A); Ainvs.append(Ainv); fqs.append(f)
+        return EigenModel(
+            eigenvals=np.stack(evs), A=np.stack(As), Ainv=np.stack(Ainvs),
+            freqs=np.stack(fqs), rates=rates, weights=weights,
+            pinv=float(model.pinv))
+    freqs = np.asarray(model.base_freqs, dtype=np.float64)
+    eigvals, A, Ainv = _decompose_one(model.subst_rates, freqs)
     return EigenModel(
         eigenvals=eigvals, A=A, Ainv=Ainv, freqs=freqs,
-        rates=np.asarray(model.ratecat_rates, np.float64),
-        weights=np.asarray(model.ratecat_weights, np.float64),
-        pinv=float(model.pinv))
+        rates=rates, weights=weights, pinv=float(model.pinv))
 
 
 def pmatrices(eig: EigenModel, lengths, dtype=jnp.float64) -> jnp.ndarray:
@@ -105,8 +131,12 @@ def pmatrices(eig: EigenModel, lengths, dtype=jnp.float64) -> jnp.ndarray:
     ev = jnp.asarray(eig.eigenvals, dtype=dtype)
     A = jnp.asarray(eig.A, dtype=dtype)
     Ainv = jnp.asarray(eig.Ainv, dtype=dtype)
-    expd = jnp.exp(t[..., None] * ev)               # [..., R, K]
-    # P = A @ diag(expd) @ Ainv
-    P = jnp.einsum("ik,...k,kj->...ij", A, expd, Ainv, precision=_PP)
+    if eig.mixture:
+        expd = jnp.exp(t[..., None] * ev)           # [..., R, K] (ev [R,K])
+        P = jnp.einsum("rik,...rk,rkj->...rij", A, expd, Ainv, precision=_PP)
+    else:
+        expd = jnp.exp(t[..., None] * ev)           # [..., R, K]
+        # P = A @ diag(expd) @ Ainv
+        P = jnp.einsum("ik,...k,kj->...ij", A, expd, Ainv, precision=_PP)
     # guard tiny negatives from round-off (probabilities)
     return jnp.maximum(P, 0.0)

@@ -28,11 +28,15 @@ def edge_logl_persite(U, lsU, V, lsV, P, freqs, weights, pinv=0.0,
     """Per-site log-likelihood at an edge: [..., S].
 
     U, V: [..., R, K, S]; lsU, lsV: [..., R, S]; P: [..., R, K, K].
-    ``inv_logterm``: [S] log(pinv * pi_invstate) with -inf at non-invariant
-    sites (pass None when pinv == 0).
+    ``freqs``: [K], or [R, K] for matrix-mixture models (per-category
+    stationary frequencies). ``inv_logterm``: [S] log(pinv * pi_invstate)
+    with -inf at non-invariant sites (pass None when pinv == 0).
     """
     PV = jnp.einsum("...rij,...rjs->...ris", P, V, precision=_PP)
-    c = jnp.einsum("...ris,...ris,i->...rs", U, PV, freqs, precision=_PP)  # per-rate lk
+    if freqs.ndim == 2:
+        c = jnp.einsum("...ris,...ris,ri->...rs", U, PV, freqs, precision=_PP)
+    else:
+        c = jnp.einsum("...ris,...ris,i->...rs", U, PV, freqs, precision=_PP)  # per-rate lk
     ls = lsU + lsV                                          # [..., R, S]
     m = jnp.max(ls, axis=-2)                                # [..., S]
     L = jnp.einsum("...rs,r->...s", c * jnp.exp(ls - m[..., None, :]), weights, precision=_PP)

@@ -43,11 +43,17 @@ def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
     pll_util.cpp:354-386).
     """
     # eigen-space propagation over half branches
-    x = c.eigenvals[None, :] * c.rates[:, None] / (1.0 - c.pinv)  # [R,K]
+    mix = c.A.ndim == 3
+    ev = c.eigenvals if mix else c.eigenvals[None, :]
+    x = ev * c.rates[:, None] / (1.0 - c.pinv)                    # [R,K]
     half = lengths / 2.0
     e_half = jnp.exp(x[None] * half[:, None, None])               # [E,R,K]
 
     def msg(clv, e_t):
+        if mix:
+            tX = jnp.einsum("rkj,erjs->erks", c.Ainv, clv, precision=_PP)
+            return jnp.einsum("rik,erk,erks->eris", c.A, e_t, tX,
+                              precision=_PP)
         tX = jnp.einsum("kj,erjs->erks", c.Ainv, clv, precision=_PP)
         return jnp.einsum("ik,erk,erks->eris", c.A, e_t, tX, precision=_PP)
 
@@ -60,10 +66,15 @@ def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
 
     # character messages through the default pendant branch
     e_pen = jnp.exp(x * DEFAULT_PENDANT)                          # [R,K]
-    tC = jnp.einsum("kj,cj->ck", c.Ainv, char_clvs, precision=_PP)
-    Mc = jnp.einsum("ik,rk,ck->cri", c.A, e_pen, tC, precision=_PP)              # [C,R,K]
-
-    lk = jnp.einsum("eris,cri,i,r->ecs", inner, Mc, c.freqs, c.weights, precision=_PP)
+    if mix:
+        tC = jnp.einsum("rkj,cj->crk", c.Ainv, char_clvs, precision=_PP)
+        Mc = jnp.einsum("rik,rk,crk->cri", c.A, e_pen, tC, precision=_PP)
+        lk = jnp.einsum("eris,cri,ri,r->ecs", inner, Mc, c.freqs,
+                        c.weights, precision=_PP)
+    else:
+        tC = jnp.einsum("kj,cj->ck", c.Ainv, char_clvs, precision=_PP)
+        Mc = jnp.einsum("ik,rk,ck->cri", c.A, e_pen, tC, precision=_PP)              # [C,R,K]
+        lk = jnp.einsum("eris,cri,i,r->ecs", inner, Mc, c.freqs, c.weights, precision=_PP)
     # keep the table finite: -inf entries would turn the masked one-hot
     # score matmul into NaN (0 * -inf), and f32 flushes tiny guards to zero
     lk = jnp.maximum(lk, jnp.finfo(lk.dtype).tiny)

@@ -56,13 +56,17 @@ SMOOTHINGS = 32      # outer iterations (optimize.cpp:269)
 
 
 class EigConsts(NamedTuple):
-    """Per-model constants threaded through the kernels (a pytree)."""
-    A: jnp.ndarray       # [K,K]
-    Ainv: jnp.ndarray    # [K,K]
-    eigenvals: jnp.ndarray  # [K]
+    """Per-model constants threaded through the kernels (a pytree).
+
+    Matrix-mixture models (LG4M/LG4X) carry per-rate-category eigen
+    systems: A/Ainv [R,K,K], eigenvals [R,K], freqs [R,K]; every kernel
+    branches statically on A.ndim."""
+    A: jnp.ndarray       # [K,K] | [R,K,K]
+    Ainv: jnp.ndarray    # [K,K] | [R,K,K]
+    eigenvals: jnp.ndarray  # [K] | [R,K]
     rates: jnp.ndarray   # [R]
     weights: jnp.ndarray  # [R]
-    freqs: jnp.ndarray   # [K]
+    freqs: jnp.ndarray   # [K] | [R,K]
     pinv: jnp.ndarray    # scalar
 
 
@@ -94,21 +98,33 @@ def transform_edges(c: EigConsts, U, lsU, V, lsV, lengths) -> BloTensors:
     lsr = lsU + lsV                                    # [E,R,S]
     ls = jnp.max(lsr, axis=1)                          # [E,S]
     Vs = V * jnp.exp(lsr - ls[:, None, :])[:, :, None, :]
-    tU = jnp.einsum("kj,erjs->erks", c.Ainv, U, precision=_PP)
-    tV = jnp.einsum("kj,erjs->erks", c.Ainv, Vs, precision=_PP)
+    if c.A.ndim == 3:
+        tU = jnp.einsum("rkj,erjs->erks", c.Ainv, U, precision=_PP)
+        tV = jnp.einsum("rkj,erjs->erks", c.Ainv, Vs, precision=_PP)
+    else:
+        tU = jnp.einsum("kj,erjs->erks", c.Ainv, U, precision=_PP)
+        tV = jnp.einsum("kj,erjs->erks", c.Ainv, Vs, precision=_PP)
     return BloTensors(tU=tU.reshape(E, R * K, S), tV=tV.reshape(E, R * K, S),
                       ls=ls, lengths=lengths)
 
 
 @jax.jit
 def transform_queries(c: EigConsts, qclv):
-    """Eigen-transform query tip CLVs: qclv [Q,K,S] -> tQ [Q,K,S]."""
+    """Eigen-transform query tip CLVs: qclv [Q,K,S] -> tQ [Q,K,S].
+
+    Mixture models transform per category -> [Q,R*K,S] (each category's
+    Ainv differs, so the tip CLV no longer broadcasts over rates)."""
+    if c.A.ndim == 3:
+        R, K, _ = c.A.shape
+        tQ = jnp.einsum("rkj,qjs->qrks", c.Ainv, qclv, precision=_PP)
+        return tQ.reshape(tQ.shape[0], R * K, tQ.shape[3])
     return jnp.einsum("kj,qjs->qks", c.Ainv, qclv, precision=_PP)
 
 
 def _x_flat(c: EigConsts):
     """exp exponents per merged (rate, state): [R*K]."""
-    x = c.eigenvals[None, :] * c.rates[:, None] / (1.0 - c.pinv)
+    ev = c.eigenvals if c.eigenvals.ndim == 2 else c.eigenvals[None, :]
+    x = ev * c.rates[:, None] / (1.0 - c.pinv)
     return x.reshape(-1)
 
 
@@ -154,26 +170,37 @@ def _apply_p(c: EigConsts, tX, t):
     """Propagate an eigen-space CLV through P(t) back to the normal basis.
     tX: [R*K, W] -> [R, K(i), W]."""
     RK, W = tX.shape
-    K = c.A.shape[0]
+    K = c.A.shape[-1]
     R = RK // K
     e = jnp.exp(_x_flat(c) * t)                       # [RK]
     Y = (tX * e[:, None]).reshape(R, K, W)
+    if c.A.ndim == 3:
+        return jnp.einsum("rik,rks->ris", c.A, Y, precision=_PP)
     return jnp.einsum("ik,rks->ris", c.A, Y, precision=_PP)
 
 
 def _q_rk(c: EigConsts, tQ):
-    """Broadcast a [K, W] eigen query tip over rate categories: [R*K, W]."""
-    K, W = tQ.shape
+    """Broadcast a [K, W] eigen query tip over rate categories: [R*K, W].
+    Mixture-model query tips arrive already per-category ([R*K, W])."""
     R = c.rates.shape[0]
+    K = c.A.shape[-1]
+    if tQ.shape[0] == R * K:
+        return tQ
+    W = tQ.shape[1]
     return jnp.broadcast_to(tQ[None], (R, K, W)).reshape(R * K, W)
 
 
 def _logl(c: EigConsts, inner, tQ, pendant, pinv_lin, site_mask, ls):
     """Edge logl between the inner CLV (normal basis, [R,K,W]) and the query
-    tip (eigen basis, [K,W]) at the given pendant length."""
+    tip (eigen basis, [K,W] / mixture [R*K,W]) at the given pendant
+    length."""
     Mq = _apply_p(c, _q_rk(c, tQ), pendant)           # [R,K,W]
-    f = jnp.einsum("ris,ris,i,r->s", inner, Mq, c.freqs, c.weights,
-                   precision=_PP)
+    if c.freqs.ndim == 2:
+        f = jnp.einsum("ris,ris,ri,r->s", inner, Mq, c.freqs, c.weights,
+                       precision=_PP)
+    else:
+        f = jnp.einsum("ris,ris,i,r->s", inner, Mq, c.freqs, c.weights,
+                       precision=_PP)
     g = (1.0 - c.pinv) * f + pinv_lin
     g = jnp.maximum(g, jnp.finfo(g.dtype).tiny)
     return jnp.sum(site_mask * (jnp.log(g) + ls))
@@ -183,8 +210,12 @@ def _sumtable(c: EigConsts, part, other):
     """Sumtable between a normal-basis partial ([R,K,W]) and an eigen-basis
     CLV ([R*K, W] or broadcastable): T[j=r*K+k, s]."""
     R, K, W = part.shape
-    piA = c.A * c.freqs[:, None]                      # [K(i), K(k)]
-    a = jnp.einsum("ris,ik->rks", part, piA, precision=_PP)
+    if c.A.ndim == 3:
+        piA = c.A * c.freqs[:, :, None]               # [R, K(i), K(k)]
+        a = jnp.einsum("ris,rik->rks", part, piA, precision=_PP)
+    else:
+        piA = c.A * c.freqs[:, None]                  # [K(i), K(k)]
+        a = jnp.einsum("ris,ik->rks", part, piA, precision=_PP)
     T = c.weights[:, None, None] * a * other.reshape(R, K, W)
     return T.reshape(R * K, W)
 

@@ -347,6 +347,7 @@ def _kernel_scalars(consts, dtype):
 
 def blo_supported(consts, width: int, sliding: bool = True) -> bool:
     return (sliding
+            and consts.A.ndim == 2  # matrix mixtures take the XLA path
             and int(consts.A.shape[0]) == K
             and int(consts.rates.shape[0]) == R
             and float(consts.pinv) == 0.0

@@ -30,8 +30,15 @@ def brute_rate_matrix(rates, freqs):
 def brute_tree_loglikelihood(tree, msa, model):
     """Log-likelihood of the full reference tree, rooted at the vroot."""
     K = model.num_states
-    freqs = np.asarray(model.base_freqs)
-    Q = brute_rate_matrix(np.asarray(model.subst_rates), freqs)
+    # per-category (Q, freqs): matrix mixtures (LG4M/LG4X) carry one
+    # substitution matrix per rate category, uniform models share one
+    if getattr(model, "submodels", None):
+        comps = [(brute_rate_matrix(np.asarray(r), np.asarray(f)),
+                  np.asarray(f)) for r, f in model.submodels]
+    else:
+        freqs = np.asarray(model.base_freqs)
+        Q1 = brute_rate_matrix(np.asarray(model.subst_rates), freqs)
+        comps = None
     cat_rates = np.asarray(model.ratecat_rates)
     cat_w = np.asarray(model.ratecat_weights)
     pinv = model.pinv
@@ -39,7 +46,7 @@ def brute_tree_loglikelihood(tree, msa, model):
     by_label = {s.header: s.sequence for s in msa}
     sites = msa.num_sites
 
-    def clv(node, rate):
+    def clv(node, rate, Q):
         if not tree.node_children[node]:
             seq = by_label[tree.labels[node]]
             return mask_to_clv_rows(encode_states(seq, K), K)  # [S, K]
@@ -47,15 +54,18 @@ def brute_tree_loglikelihood(tree, msa, model):
         for c in tree.node_children[node]:
             t = tree.edge_lengths[tree.node_edge[c]] * rate / (1.0 - pinv)
             P = expm(Q * t)
-            out = out * (clv(c, rate) @ P.T)
+            out = out * (clv(c, rate, Q) @ P.T)
         return out
 
     # mixture over rate categories
     site_lk = np.zeros(sites)
-    for r, w in zip(cat_rates, cat_w):
-        site_lk += w * (clv(tree.vroot, r) @ freqs)
+    for r_i, (r, w) in enumerate(zip(cat_rates, cat_w)):
+        Qr, fr = comps[r_i] if comps else (Q1, freqs)
+        site_lk += w * (clv(tree.vroot, r, Qr) @ fr)
 
     if pinv > 0:
+        if comps is not None:
+            raise NotImplementedError("p-inv with matrix mixtures")
         masks = np.stack([encode_states(by_label[l], K) for l in tree.labels])
         inter = masks[0].copy()
         for row in masks[1:]:
