@@ -99,13 +99,14 @@ def preplace_select(table, codes, begins, spans, threshold, topk: int):
 
 
 @partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed",
-                                   "use_pallas", "block_width"))
+                                   "use_pallas", "block_width", "phase1"))
 def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                    codes, begins, spans, tQ, invq, prescoring_threshold,
                    topk: int = 8, sliding: bool = True,
                    site_width: int | None = None, packed: bool = False,
                    use_pallas: bool = False,
-                   block_width: int | None = None):
+                   block_width: int | None = None,
+                   phase1: int = 2):
     """One fused placement step over a query chunk.
 
     table: [E,C,S] preplacement lookup; tU, tV: [E,RK,S] eigen-transformed
@@ -121,6 +122,18 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     premasking payoff. None = full width. ``block_width``: static window
     width of the blocked Pallas path (ops.pallas_blo.plan_blocks); block
     site offsets are planned on device after the candidate compaction.
+
+    ``phase1``: two-phase convergence compaction inside the blocked Pallas
+    path. The 128-pair blocks run the smoothing loop in lock-step, so one
+    straggler drags its whole block to its own iteration count; but ~85%
+    of pairs converge (or roll back) within 2 smoothings. Phase A runs
+    everything with this small cap, then the unconverged pairs (their
+    convergence difficulty is spread evenly over blocks) are compacted on
+    device into a small pair budget (NP/4) that reruns with the full
+    smoothing budget. Restarting is trajectory-identical to one long run:
+    the smoothing recursion is deterministic from the fixed init. Pairs
+    that exceed the phase-B budget (never seen in practice) are flagged
+    uncomputed and the engine re-places their queries exactly.
     """
     dtype = table.dtype
     E, C, S = table.shape
@@ -188,6 +201,7 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
         tUg = tU[flat_e_p]
         tVg = tV[flat_e_p]
         tQg = tQ[q_ids_p]
+        orig_p = lengths[flat_e_p]
         fullmask = ((site[None, :] >= pb_p[:, None])
                     & (site[None, :] < (pb_p + sp_p)[:, None])).astype(dtype)
         ls_sum = jnp.sum(fullmask * ls[flat_e_p], axis=1)
@@ -195,11 +209,56 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
         bmask = ((wsite[None, :] >= local[:, None])
                  & (wsite[None, :] < (local + sp_p)[:, None])
                  & fits[:, None])
-        logl_s, pendant_s, distal_s, _, _, _ = (
+        from epa_ng_tpu.ops.pallas_blo import MAX_KERNEL_SITES
+        max_sm = newton.SMOOTHINGS
+        two_phase = (bool(phase1) and phase1 < max_sm and NP >= 4 * PB
+                     and S_pad <= MAX_KERNEL_SITES)  # phase B is full-width
+        p1 = phase1 if two_phase else max_sm
+        logl_s, pendant_s, distal_s, _, _, done_s = (
             blo_optimize_batch_pallas_blocked(
                 consts, tUg, tVg, tQg, bmask.astype(dtype),
-                lengths[flat_e_p], offs, ls_sum, block_width=Wb,
+                orig_p, offs, ls_sum, block_width=Wb,
+                max_smoothings=p1,
                 skip=1.0 - fits.astype(dtype), block_active=block_active))
+        computed_pair = fits
+        if two_phase:
+            # --- phase B: compact the unconverged tail (evenly spread
+            # over blocks) into NP/4 pairs and rerun with the full budget
+            unconv = fits & ~done_s
+            NB = (NP // 4) // PB * PB
+            key = jnp.where(unconv, 0, NP) + jnp.arange(NP)
+            idx2 = jnp.argsort(key)[:NB]   # unconv first, begin order kept
+            fits2 = unconv[idx2]
+            pb2 = pb_p[idx2]
+            sp2 = sp_p[idx2]
+            nb2 = NB // PB
+            # full-width windows: the stragglers are a sparse begin-ordered
+            # subsample, so their per-block begin spread is ~(1/unconv
+            # fraction) wider than phase A's — a Wb window would evict
+            # most of them. Their count is small; full width is cheap.
+            Wb2 = S_pad
+            offs2 = jnp.zeros((nb2,), jnp.int32)
+            act2 = jnp.any(fits2.reshape(nb2, PB), axis=1).astype(jnp.int32)
+            w2site = jnp.arange(Wb2)
+            bmask2 = ((w2site[None, :] >= pb2[:, None])
+                      & (w2site[None, :] < (pb2 + sp2)[:, None])
+                      & fits2[:, None])
+            loglB, pendB, distB, _, _, _ = (
+                blo_optimize_batch_pallas_blocked(
+                    consts, tUg[idx2], tVg[idx2], tQg[idx2],
+                    bmask2.astype(dtype), orig_p[idx2], offs2, ls_sum[idx2],
+                    block_width=Wb2, max_smoothings=max_sm,
+                    skip=1.0 - fits2.astype(dtype), block_active=act2))
+            logl_s = logl_s.at[idx2].set(jnp.where(fits2, loglB,
+                                                   logl_s[idx2]))
+            pendant_s = pendant_s.at[idx2].set(jnp.where(fits2, pendB,
+                                                         pendant_s[idx2]))
+            distal_s = distal_s.at[idx2].set(jnp.where(fits2, distB,
+                                                       distal_s[idx2]))
+            handled = jnp.zeros((NP,), bool).at[idx2].set(fits2)
+            # phase-A stragglers that missed the phase-B budget (never
+            # seen in practice) re-place exactly via the engine fallback
+            computed_pair = fits & (done_s | handled)
 
         def unsort(x):
             return jnp.zeros((B,), x.dtype).at[order].set(x[:B])
@@ -207,7 +266,7 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
         logl = unsort(logl_s).reshape(Q, topk)
         pendant = unsort(pendant_s).reshape(Q, topk)
         distal = unsort(distal_s).reshape(Q, topk)
-        computed = unsort(fits[:B].astype(dtype)).reshape(Q, topk)
+        computed = unsort(computed_pair[:B].astype(dtype)).reshape(Q, topk)
         return _step_epilogue(top_edges, logl, pendant, distal, valid,
                               dtype, packed, computed=computed)
 
