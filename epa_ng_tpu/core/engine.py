@@ -112,6 +112,18 @@ class PlacementEngine:
         # (reference: src/tree/Tree.cpp:49-53)
         self.ref_tree_logl = (float(self._reference_logl())
                               if ref_logl is None else ref_logl)
+        if self.model.ascbias_type is not None:
+            # reported evaluation logl carries the ASC correction;
+            # placement scores do not (the reference never wires ASC into
+            # the placement partition — raxml/Model.cpp:712-734)
+            from epa_ng_tpu.ops import likelihood as lk_ops
+            inv_logls = clv_ops.invariant_pattern_logls(
+                self.tree, self.eig, dtype=self.dtype)
+            w = (jnp.asarray(self.model.ascbias_weights, self.dtype)
+                 if self.model.ascbias_weights is not None else
+                 jnp.zeros(self.model.num_states, self.dtype))
+            self.ref_tree_logl += float(lk_ops.asc_bias_correction(
+                inv_logls, self.model.ascbias_type, w, self.num_sites))
         if not np.isfinite(self.ref_tree_logl):
             raise RuntimeError("Tree Log-Likelihood -INF!")
         log.info("Reference tree log-likelihood: %.6f", self.ref_tree_logl)

@@ -62,10 +62,10 @@ def _rate_expander(model):
     return nr, lambda uniq: uniq
 
 
-@partial(jax.jit, static_argnames=("n_clvs",))
+@partial(jax.jit, static_argnames=("n_clvs", "asc_kind", "n_real"))
 def _neg_logl(log_bl, log_uniq, freq_logits, pinv_logit, rate_basis,
               ops_arr, u0, v0, tip_clvs, cat_rates, cat_weights,
-              inv_state, n_clvs: int):
+              inv_state, asc_w, n_clvs: int, asc_kind=None, n_real=0):
     """Differentiable reference-tree negative log-likelihood.
 
     rate_basis: [n_free, NR] expansion matrix from free rates to the full
@@ -107,9 +107,16 @@ def _neg_logl(log_bl, log_uniq, freq_logits, pinv_logit, rate_basis,
         inv_state >= 0,
         jnp.log(pinv * freqs[jnp.maximum(inv_state, 0)]),
         -jnp.inf)
-    logl = likelihood.edge_loglikelihood(
+    persite = likelihood.edge_logl_persite(
         buf[u0], ls[u0], buf[v0], ls[v0], P[0], freqs, cat_weights,
         pinv=pinv, inv_logterm=inv_logterm)
+    if asc_kind is None:
+        logl = jnp.sum(persite)
+    else:
+        # the last K pseudo-sites are the dummy invariant columns
+        # (ASC + pinv is rejected at parse, so inv_logterm is inert here)
+        logl = jnp.sum(persite[:n_real]) + likelihood.asc_bias_correction(
+            persite[n_real:], asc_kind, asc_w, n_real)
     return -logl
 
 
@@ -175,6 +182,22 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
         inv_state = clv_ops.invariant_states(masks, model.num_states)
     else:
         inv_state = np.full(ref_msa.num_sites, -1, np.int32)
+
+    n_real = ref_msa.num_sites
+    asc_kind = model.ascbias_type
+    K = model.num_states
+    if asc_kind is not None:
+        # append the K dummy invariant columns as extra sites so the
+        # correction rides the same (differentiable) CLV scan
+        eyecols = np.broadcast_to(np.eye(K)[None],
+                                  (tree.n_tips, K, K))
+        tip_clvs = jnp.concatenate(
+            [tip_clvs, jnp.asarray(eyecols, dtype)], axis=1)
+        inv_state = np.concatenate([inv_state,
+                                    np.full(K, -1, np.int32)])
+    asc_w = jnp.asarray(
+        model.ascbias_weights if model.ascbias_weights is not None
+        else np.zeros(K), dtype)
     inv_state_j = jnp.asarray(inv_state)
 
     # initial parameters
@@ -231,8 +254,9 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
         q = {**fixed, **p}
         return _neg_logl(q["log_bl"], q["log_uniq"], q["freq_logits"],
                          q["pinv_logit"], basis_j, ops_arr, u0, v0,
-                         tip_clvs, cat_rates, weights, inv_state_j,
-                         n_clvs=ops.n_clvs)
+                         tip_clvs, cat_rates, weights, inv_state_j, asc_w,
+                         n_clvs=ops.n_clvs, asc_kind=asc_kind,
+                         n_real=n_real)
 
     value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 

@@ -175,6 +175,11 @@ class Model:
     rates_mode: ParamValue = ParamValue.ML
     pinv_mode: ParamValue = ParamValue.UNDEFINED
     alpha_mode: ParamValue = ParamValue.UNDEFINED
+    # ascertainment-bias correction: None | "lewis" | "felsenstein" |
+    # "stamatakis" (reference: src/core/raxml/Model.cpp:268-296); weights
+    # are the per-state invariant-site counts ([0] only for felsenstein)
+    ascbias_type: Optional[str] = None
+    ascbias_weights: Optional[np.ndarray] = None
 
     # -- construction ------------------------------------------------------
 
@@ -373,10 +378,33 @@ class Model:
                     self.ratecat_rates = rates
                     self.ratecat_weights = weights
             elif cu == "A":
+                # +ASC_LEWIS | +ASC_FELS{w} | +ASC_STAM{w1/../wK}
+                # (reference grammar: src/core/raxml/Model.cpp:268-296)
                 rest = "A" + s.read_option()
-                raise ModelError(
-                    f"Ascertainment bias correction ({rest}) is not supported "
-                    "for placement (matches reference applicability)")
+                if rest == "ASC_LEWIS":
+                    self.ascbias_type = "lewis"
+                elif rest == "ASC_FELS":
+                    v = s.maybe_params()
+                    if v is None or len(v) != 1:
+                        raise ModelError(
+                            "Invalid ascertainment bias correction "
+                            f"specification: +{rest}")
+                    w = np.zeros(self.num_states, dtype=np.float64)
+                    w[0] = float(v[0])
+                    self.ascbias_type = "felsenstein"
+                    self.ascbias_weights = w
+                elif rest == "ASC_STAM":
+                    v = s.maybe_params()
+                    if v is None or len(v) != self.num_states:
+                        raise ModelError(
+                            "Invalid ascertainment bias correction "
+                            f"specification: +{rest}")
+                    self.ascbias_type = "stamatakis"
+                    self.ascbias_weights = np.asarray(v, dtype=np.float64)
+                else:
+                    raise ModelError(
+                        "Invalid ascertainment bias correction "
+                        f"specification: +{rest}")
             else:
                 raise ModelError(f"Wrong model specification near: {c}{opts}")
 
@@ -427,6 +455,13 @@ class Model:
 
     def _finalize(self, equal_freqs_model: bool):
         n = self.num_states
+        if self.ascbias_type is not None and (
+                self.pinv > 0 or self.pinv_mode != ParamValue.UNDEFINED):
+            # libpll cannot combine ASC with a proportion of invariant
+            # sites (an ASC-corrected model asserts no invariant sites)
+            raise ModelError(
+                "Ascertainment bias correction (+ASC_*) cannot be combined "
+                "with a proportion of invariant sites (+I)")
         if self.submodels is not None:
             if self.num_ratecats != len(self.submodels):
                 raise ModelError(
@@ -489,6 +524,14 @@ class Model:
                          f"{'a' if self.gamma_mode == GAMMA_RATES_MEDIAN else 'm'}")
             if self.alpha_mode == ParamValue.USER:
                 parts.append("{" + _fmt(self.alpha) + "}")
+        if self.ascbias_type == "lewis":
+            parts.append("+ASC_LEWIS")
+        elif self.ascbias_type == "felsenstein":
+            parts.append("+ASC_FELS{" + _fmt(self.ascbias_weights[0]) + "}")
+        elif self.ascbias_type == "stamatakis":
+            parts.append("+ASC_STAM{"
+                         + "/".join(_fmt(v) for v in self.ascbias_weights)
+                         + "}")
         return "".join(parts)
 
 

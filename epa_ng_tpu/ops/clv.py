@@ -249,6 +249,24 @@ def build_reference_state(tree: Tree, eig: EigenModel, tip_clvs: np.ndarray,
     return edges, float(logl)
 
 
+def invariant_pattern_logls(tree: Tree, eig: EigenModel, dtype=jnp.float64):
+    """[K] log-likelihood of each all-invariant dummy column (state k at
+    every tip), evaluated on the reference tree — the input to the
+    ascertainment-bias correction (ops.likelihood.asc_bias_correction)."""
+    from epa_ng_tpu.ops import likelihood
+    K = eig.A.shape[-1]
+    ops = build_tree_ops(tree)
+    tip = np.broadcast_to(np.eye(K)[None], (tree.n_tips, K, K)).copy()
+    P = pmatrices(eig, jnp.asarray(tree.edge_lengths, dtype), dtype=dtype)
+    buf, ls = _compute_clvs_core(jnp.asarray(ops.ops), P,
+                                 jnp.asarray(tip, dtype), ops.n_clvs,
+                                 len(eig.rates))
+    u0, v0 = int(ops.u_idx[0]), int(ops.v_idx[0])
+    return likelihood.edge_logl_persite(
+        buf[u0], ls[u0], buf[v0], ls[v0], P[0],
+        jnp.asarray(eig.freqs, dtype), jnp.asarray(eig.weights, dtype))
+
+
 @partial(jax.jit, static_argnames=("n_clvs", "pinv"))
 def _reference_state_jit(ops_arr, u_idx, v_idx, tip_clvs, edge_lengths,
                          eigenvals, A, Ainv, rates, weights, freqs,

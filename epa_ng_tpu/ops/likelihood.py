@@ -58,6 +58,38 @@ def edge_loglikelihood(U, lsU, V, lsV, P, freqs, weights, pinv=0.0,
     return jnp.sum(logL, axis=-1)
 
 
+def asc_bias_correction(inv_logls, kind: str, weights, n_real_sites):
+    """Ascertainment-bias log-likelihood correction term (added to the
+    uncorrected total logl).
+
+    ``inv_logls``: [K] log-likelihood of the K dummy invariant columns
+    (state k at every tip). ``weights``: [K] per-state invariant-site
+    counts (felsenstein uses only their sum; lewis ignores them).
+    ``n_real_sites``: total weight of the observed (variable) sites.
+
+    - lewis (Lewis 2001): condition on variability,
+      correction = -W * log(1 - sum_k L_k).
+    - felsenstein: add back w invariant sites of unknown state,
+      correction = w * log(sum_k L_k).
+    - stamatakis: add back per-state invariant-site counts,
+      correction = sum_k w_k * log(L_k).
+
+    The reference parses these into its Model (src/core/raxml/Model.cpp:
+    268-296) but never wires them into the placement partition
+    (assign(partition, model), Model.cpp:712-734, sets freqs/rates/pinv
+    only), so placement scores are unaffected there and here; this term
+    applies to reference-tree evaluation (--opt-model).
+    """
+    probs = jnp.exp(inv_logls)
+    if kind == "lewis":
+        return -n_real_sites * jnp.log1p(-jnp.sum(probs))
+    if kind == "felsenstein":
+        return jnp.sum(weights) * jnp.log(jnp.sum(probs))
+    if kind == "stamatakis":
+        return jnp.sum(weights * inv_logls)
+    raise ValueError(f"unknown ascertainment bias correction: {kind}")
+
+
 def make_inv_logterm(inv_state, freqs, pinv, dtype=jnp.float64):
     """[S] log(pinv * pi_inv(s)), -inf where the site is not invariant."""
     import numpy as np

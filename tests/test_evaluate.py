@@ -74,3 +74,59 @@ def test_optimize_fixed_pinv():
     assert model.pinv == pytest.approx(0.15)
     want = brute_tree_loglikelihood(tree, ref, model)
     assert final == pytest.approx(want, abs=1e-4)
+
+
+# -- ascertainment bias correction ------------------------------------------
+
+def test_asc_corrected_reference_logl_matches_brute_force():
+    """Engine-reported evaluation logl under +ASC_* equals the independent
+    brute force: plain logl + the Lewis/Felsenstein/Stamatakis term built
+    from scipy-expm likelihoods of the K dummy invariant columns."""
+    from epa_ng_tpu.core.engine import PlacementEngine
+    from epa_ng_tpu.utils.options import Options
+
+    tree, ref = _setup()
+    desc = "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}"
+    base = Model.from_string(desc)
+    plain = brute_tree_loglikelihood(tree, ref, base)
+
+    inv_logls = []
+    for ch in "ACGT":
+        col = fio.MSA()
+        for lab in tree.labels:
+            col.append(lab, ch)
+        inv_logls.append(brute_tree_loglikelihood(tree, col, base))
+    inv_logls = np.asarray(inv_logls)
+    p = np.exp(inv_logls).sum()
+    S = ref.num_sites
+
+    cases = {
+        desc + "+ASC_LEWIS": plain - S * np.log1p(-p),
+        desc + "+ASC_FELS{17}": plain + 17.0 * np.log(p),
+        desc + "+ASC_STAM{3/4/5/6}":
+            plain + float(np.dot([3, 4, 5, 6], inv_logls)),
+    }
+    for dstr, want in cases.items():
+        eng = PlacementEngine(tree, ref, Model.from_string(dstr),
+                              Options(premasking=False))
+        assert eng.ref_tree_logl == pytest.approx(want, abs=1e-5), dstr
+
+
+def test_asc_optimize_model_accounts_for_correction():
+    """--opt-model under +ASC_LEWIS optimizes the corrected objective and
+    reports a value matching the brute-force-corrected logl at the
+    optimized parameters."""
+    tree, ref = _setup()
+    model = Model.from_string("GTR+G+ASC_LEWIS")
+    final = optimize_model(tree, ref, model, lbfgs_steps=40)
+
+    plain = brute_tree_loglikelihood(tree, ref, model)
+    inv_logls = []
+    for ch in "ACGT":
+        col = fio.MSA()
+        for lab in tree.labels:
+            col.append(lab, ch)
+        inv_logls.append(brute_tree_loglikelihood(tree, col, model))
+    p = np.exp(np.asarray(inv_logls)).sum()
+    want = plain - ref.num_sites * np.log1p(-p)
+    assert final == pytest.approx(want, abs=1e-4)

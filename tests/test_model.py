@@ -179,3 +179,43 @@ def test_builtin_aa_symmetric_expansion():
         # aromatic W<->Y exchange is among the largest in both tables
         order = np.argsort(rates)
         assert rates[order[-1]] > 5
+
+
+# -- ascertainment bias correction (reference Model.cpp:268-296) -----------
+
+def test_asc_parse_lewis_roundtrip():
+    from epa_ng_tpu.models.model import Model
+    m = Model.from_string("GTR{1.1/2.9/0.8/1.2/3.4/1}+G4{0.6}+ASC_LEWIS")
+    assert m.ascbias_type == "lewis"
+    assert m.ascbias_weights is None
+    assert m.to_string().endswith("+ASC_LEWIS")
+
+
+def test_asc_parse_felsenstein_roundtrip():
+    from epa_ng_tpu.models.model import Model
+    m = Model.from_string("HKY+ASC_FELS{17}")
+    assert m.ascbias_type == "felsenstein"
+    assert m.ascbias_weights[0] == pytest.approx(17.0)
+    assert (m.ascbias_weights[1:] == 0).all()
+    assert m.to_string().endswith("+ASC_FELS{17}")
+
+
+def test_asc_parse_stamatakis_roundtrip():
+    from epa_ng_tpu.models.model import Model
+    m = Model.from_string("GTR+ASC_STAM{3/4/5/6}")
+    assert m.ascbias_type == "stamatakis"
+    assert np.allclose(m.ascbias_weights, [3, 4, 5, 6])
+    assert m.to_string().endswith("+ASC_STAM{3/4/5/6}")
+
+
+def test_asc_rejects_bad_specs():
+    from epa_ng_tpu.models.model import Model, ModelError
+    with pytest.raises(ModelError, match="[Aa]scertainment"):
+        Model.from_string("GTR+ASC_BOGUS")
+    with pytest.raises(ModelError, match="[Aa]scertainment"):
+        Model.from_string("GTR+ASC_STAM{1/2}")  # needs num_states weights
+    with pytest.raises(ModelError, match="[Aa]scertainment"):
+        Model.from_string("GTR+ASC_FELS")  # weight required
+    # libpll cannot combine ASC with +I
+    with pytest.raises(ModelError, match="invariant"):
+        Model.from_string("GTR+IU{0.2}+ASC_LEWIS")
