@@ -1,14 +1,18 @@
-"""Benchmark: queries placed per second per chip (full pipeline).
+"""Benchmark: queries placed per second per chip.
 
-Runs the fused placement step (preplacement scoring -> dynamic-heuristic
-top-k candidate selection -> batched Newton branch-length optimization ->
-LWR) on a synthetic dataset sized like a real metagenomic workload
-(512-taxon reference tree / 1021 edges, 512-site alignment, short-read
-queries), in f32 on whatever accelerator JAX provides (the real TPU chip
-under the driver; CPU fallback otherwise).
+Two measurements on a synthetic metagenomic-style workload (512-taxon
+reference tree / 1021 edges, 512-site alignment, short-read queries, f32):
+
+1. **fused step** (the headline `value`): the steady-state device pipeline
+   (preplacement scoring -> dynamic-heuristic top-k selection -> batched
+   Newton BLO -> LWR + output filter), chunks streamed back-to-back.
+2. **end-to-end** (`e2e_qps`): the real CLI path, FASTA file -> jplace
+   file, timed like the reference's "Time spent placing"
+   (/root/reference/src/main.cpp:545) — includes reading, encoding,
+   duplicate collapse, device compute, result assembly and output writes.
 
 Prints ONE json line:
-  {"metric": ..., "value": N, "unit": "queries/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "queries/s", "vs_baseline": N, ...}
 
 vs_baseline derivation: the reference repo publishes no numbers; its paper
 (Barbera et al. 2018, doi:10.1093/sysbio/syy054, cited in the reference
@@ -16,10 +20,15 @@ README) reports ~1e9 reads placed on a 3748-taxon tree in <7 h on 2048
 cores with the default heuristic => ~19.4 queries/s/core, i.e. ~310
 queries/s for a 16-core CPU node. We use 310 q/s as the single-node
 reference baseline; vs_baseline = our queries/s/chip divided by that.
+
+Modes: ``python bench.py`` runs everything; ``--quick`` only the fused
+step; ``--e2e`` only the end-to-end run.
 """
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 REFERENCE_NODE_QPS = 310.0
@@ -33,46 +42,42 @@ N_QUERIES = 8192
 CHUNK = 512
 TOPK = 8
 
+MODEL = "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}"
 
-def main():
+
+def run_fused_step():
+    """Steady-state fused-step throughput (device pipeline only)."""
     import numpy as np
 
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/epa_ng_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from epa_ng_tpu.core.engine import PlacementEngine
+    from epa_ng_tpu.io.fasta import MSA
     from epa_ng_tpu.models import Model
-    from epa_ng_tpu.parallel.mesh import placement_step
+    from epa_ng_tpu.ops.pallas_blo import plan_blocks
+    from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
     from epa_ng_tpu.utils.options import Options
     from epa_ng_tpu.utils.synth import synth_dataset
 
-    backend = jax.default_backend()
     tree, ref, qry = synth_dataset(n_taxa=N_TAXA, sites=SITES,
                                    n_queries=N_QUERIES, seed=7)
-    model = Model.from_string(
-        "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}")
+    model = Model.from_string(MODEL)
     opts = Options(compute_dtype="f32", premasking=True)
     engine = PlacementEngine(tree, ref, model, opts)
     table = engine.lookup_table
 
     # encode all queries up front (host-side prep is overlapped with device
-    # compute in the streaming engine; excluded here like the reference's
-    # "Time spent placing" excludes file parsing)
-    from epa_ng_tpu.ops.pallas_blo import plan_blocks
-    from epa_ng_tpu.parallel.mesh import chunk_site_width
+    # compute in the streaming engine; measured separately by --e2e)
     chunks = []
     for start in range(0, N_QUERIES, CHUNK):
         sub = qry.sequences[start:start + CHUNK]
-        from epa_ng_tpu.io.fasta import MSA
         msa = MSA(sequences=sub, num_sites=qry.num_sites)
         codes, qmasks, ranges = engine._encode_chunk(msa)
         # sort by range begin for tight blocked-kernel site windows
         perm = np.argsort(ranges[:, 0], kind="stable")
-        codes, qmasks, ranges = codes[perm], qmasks[perm], ranges[perm]
-        tQ, invq = engine._query_tensors(qmasks)
+        codes, ranges = codes[perm], ranges[perm]
+        tQ, invq = engine._query_tensors_codes(codes)
         # static shapes computed host-side at encode time: device arrays
         # here would force a device->host sync per chunk in the hot loop,
         # serializing dispatches (block offsets are planned ON DEVICE
@@ -86,6 +91,8 @@ def main():
             jnp.asarray(ranges[:, 1]), tQ, invq, W, Wb))
 
     thresh = jnp.asarray(opts.prescoring_threshold, engine.dtype)
+    fthresh = jnp.asarray(opts.support_threshold, engine.dtype)
+    fcfg = (opts.acc_threshold, max(1, opts.filter_min), opts.filter_max)
 
     blo = engine.blo
 
@@ -97,7 +104,8 @@ def main():
                               tQ, invq, thresh, topk=TOPK, sliding=True,
                               site_width=W,
                               use_pallas=use_pallas,
-                              block_width=Wb if use_pallas else None)
+                              block_width=Wb if use_pallas else None,
+                              filter_cfg=fcfg, filter_threshold=fthresh)
 
     # warmup / compile (once per distinct shape signature)
     seen = set()
@@ -114,23 +122,74 @@ def main():
     jax.block_until_ready(results)
     dt = time.perf_counter() - t0
 
-    qps = N_QUERIES / dt
-
-    # sanity: finite logls, no padded edges selected
+    import numpy as np
     logl0 = np.asarray(results[0][1])
     assert np.isfinite(logl0).all(), "bench produced non-finite logls"
 
-    print(json.dumps({
+    return {"qps": N_QUERIES / dt, "wall_s": dt,
+            "edges": engine.num_edges}
+
+
+def run_e2e():
+    """FASTA file -> jplace file via the real CLI; 'Time spent placing'
+    semantics (excludes reference-state construction, includes query IO,
+    encode, compute, assembly, output)."""
+    from epa_ng_tpu import cli
+    from epa_ng_tpu.utils.synth import synth_files
+
+    tmp = tempfile.mkdtemp(prefix="epa_ng_tpu_bench_")
+    tpath, rpath, qpath = synth_files(tmp, n_taxa=N_TAXA, sites=SITES,
+                                      n_queries=N_QUERIES, seed=7)
+    args = ["--tree", tpath, "--ref-msa", rpath, "--query", qpath,
+            "-m", MODEL, "-w", tmp, "--redo", "--chunk-size", "1024"]
+
+    stats = []
+    for _ in range(2):  # first run warms the persistent compile cache
+        rc = cli.main(args)
+        assert rc == 0, f"e2e CLI run failed rc={rc}"
+        stats.append(dict(cli.LAST_RUN_STATS))
+    s = stats[-1]
+    out = os.path.join(tmp, "epa_result.jplace")
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    return {"qps": N_QUERIES / s["placing_s"],
+            "placing_s": s["placing_s"],
+            "read_s": s["read_s"], "compute_s": s["compute_s"],
+            "write_s": s["write_s"],
+            "cold_placing_s": stats[0]["placing_s"]}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/epa_ng_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    backend = jax.default_backend()
+
+    result = {
         "metric": "queries_placed_per_sec_per_chip",
-        "value": round(qps, 2),
         "unit": "queries/s",
-        "vs_baseline": round(qps / REFERENCE_NODE_QPS, 3),
         "backend": backend,
-        "config": {"taxa": N_TAXA, "edges": engine.num_edges,
-                   "sites": SITES, "queries": N_QUERIES, "chunk": CHUNK,
-                   "topk": TOPK, "dtype": "f32",
-                   "wall_s": round(dt, 3)},
-    }))
+        "config": {"taxa": N_TAXA, "sites": SITES, "queries": N_QUERIES,
+                   "chunk": CHUNK, "topk": TOPK, "dtype": "f32"},
+    }
+
+    if mode in ("all", "--quick"):
+        fused = run_fused_step()
+        result["value"] = round(fused["qps"], 2)
+        result["vs_baseline"] = round(fused["qps"] / REFERENCE_NODE_QPS, 3)
+        result["config"]["edges"] = fused["edges"]
+        result["config"]["wall_s"] = round(fused["wall_s"], 3)
+    if mode in ("all", "--e2e"):
+        e2e = run_e2e()
+        result["e2e_qps"] = round(e2e["qps"], 2)
+        result["e2e"] = {k: round(v, 3) for k, v in e2e.items()}
+        if mode == "--e2e":
+            result["value"] = result["e2e_qps"]
+            result["vs_baseline"] = round(e2e["qps"] / REFERENCE_NODE_QPS, 3)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

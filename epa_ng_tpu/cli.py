@@ -24,6 +24,11 @@ from epa_ng_tpu.utils.options import NumericalScaling, Options
 
 log = logging.getLogger("epa_ng_tpu")
 
+# machine-readable stats of the last completed placement run (float
+# seconds; the logged "Time spent placing" mirrors the reference's
+# integer-seconds format, src/main.cpp:545). Consumed by bench.py --e2e.
+LAST_RUN_STATS: dict = {}
+
 BANNER = r"""
     ______ ____   ___  ______ ____   __  __      ______ ____   __  __
    / ____// __ \ /   |/_  __// __ \ / / / /     /_  __// __ \ / / / /
@@ -366,25 +371,36 @@ def main(argv=None) -> int:
     # thread (the analog of the reference's __PREFETCH overlap)
     from epa_ng_tpu.core.pipeline import StreamingPipeline
 
+    from epa_ng_tpu.core import chunk as chunk_mod
+
     progress = {"done": 0, "reads": 0}
 
     def read_chunk():
-        chunk = reader.read_next(options.chunk_size)
-        if not len(chunk):
-            return None
+        # matrix-native readers hand back an EncodedChunk straight from the
+        # native scanner; MSA readers go through the vectorized encoder
+        read_encoded = getattr(reader, "read_next_encoded", None)
+        if read_encoded is not None:
+            ec = read_encoded(options.chunk_size, engine.model.num_states)
+            if ec is None or not len(ec):
+                return None
+            ec = engine.check_chunk(ec)
+        else:
+            chunk = reader.read_next(options.chunk_size)
+            if not len(chunk):
+                return None
+            ec = engine.encode_msa(chunk)
         # collapse duplicate reads: place once, report every name
         # (reference: src/set_manipulators.cpp:208-226); a big win on
         # metagenomic data where identical short reads are common
-        return fio.find_collapse_equal_sequences(chunk)
+        return chunk_mod.collapse(ec)
 
-    def compute(chunk, index):
+    def compute(ec, index):
         # dispatch only: the device crunches this chunk while the writer
         # thread syncs + assembles the previous one (finalize_chunk)
         offset = progress["done"] + reader.local_seq_offset
-        handle = engine.place_chunk_async(chunk, seq_id_offset=offset)
-        progress["done"] += len(chunk)
-        nreads = sum(len(s.headers) for s in chunk)
-        return handle, nreads
+        handle = engine.place_encoded_async(ec, seq_id_offset=offset)
+        progress["done"] += len(ec)
+        return handle, ec.num_reads
 
     def write(item):
         handle, nreads = item
@@ -406,6 +422,15 @@ def main(argv=None) -> int:
             merge_jplace_shards(shard_dir, out_file, pcount, tree_string,
                                 invocation, final_dir=outdir)
 
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(
+        placing_s=time.time() - start_place,
+        total_s=time.time() - start_all,
+        reads=progress["reads"],
+        sequences=progress["done"],
+        read_s=pipeline.read_timer.sum(),
+        compute_s=pipeline.compute_timer.sum(),
+        write_s=pipeline.write_timer.sum())
     log.info("Time spent placing: %ds", int(time.time() - start_place))
     log.info("Elapsed Time: %ds", int(time.time() - start_all))
     return 0

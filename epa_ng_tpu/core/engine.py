@@ -24,17 +24,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from epa_ng_tpu.core import heuristics
-from epa_ng_tpu.core.lwr import PQuery, compute_and_set_lwr, filter_pqueries
+from epa_ng_tpu.core import chunk as chunk_mod, heuristics
+from epa_ng_tpu.core.chunk import EncodedChunk
+from epa_ng_tpu.core.lwr import (ChunkPlacements, PQuery, compute_and_set_lwr,
+                                 filter_pqueries)
 from epa_ng_tpu.io.fasta import MSA
 from epa_ng_tpu.models import Model
-from epa_ng_tpu.models.charmaps import (encode_lookup_cols, encode_states,
-                                        lookup_chars, lookup_tip_clvs)
+from epa_ng_tpu.models.charmaps import lookup_chars, lookup_tip_clvs
 from epa_ng_tpu.ops import clv as clv_ops
 from epa_ng_tpu.ops import eigen, lookup, newton
 from epa_ng_tpu.tree.tree import Tree
 from epa_ng_tpu.utils.options import Options
-from epa_ng_tpu.utils.ranges import get_valid_range
 
 log = logging.getLogger("epa_ng_tpu")
 
@@ -133,6 +133,7 @@ class PlacementEngine:
         self._char_clvs = jnp.asarray(
             lookup_tip_clvs(self.model.num_states), self.dtype)
         self._lookup_cols = lookup_chars(self.model.num_states)
+        self._col_masks = chunk_mod.col_state_masks(self.model.num_states)
 
     # ------------------------------------------------------------------
 
@@ -220,6 +221,20 @@ class PlacementEngine:
         invq = jnp.asarray(self._inv_logfreq_queries(qmasks), self.dtype)
         return tQ, invq
 
+    def _query_tensors_codes(self, codes: np.ndarray):
+        """Like :meth:`_query_tensors` but from the [Q,S] lookup-code matrix:
+        the tip CLVs are gathered ON DEVICE from the per-column CLV rows
+        (chunk.col_state_masks exactness argument), so the host transfers
+        one uint8 matrix instead of a [Q,K,S] float tensor."""
+        codes_j = jnp.asarray(codes)
+        tQ = _transform_codes_jit(self.consts, self._char_clvs, codes_j)
+        if self._ref_intersection is not None and self.model.pinv > 0:
+            qmasks = self._col_masks[codes]
+            invq = jnp.asarray(self._inv_logfreq_queries(qmasks), self.dtype)
+        else:
+            invq = jnp.full(codes.shape, -jnp.inf, self.dtype)
+        return tQ, invq
+
     def _use_pallas(self, width: int) -> bool:
         """Dispatch the Newton stage to the Pallas kernel? Single-device
         TPU, DNA, pinv=0, f32, sliding mode only."""
@@ -239,27 +254,33 @@ class PlacementEngine:
     # ------------------------------------------------------------------
 
     def _encode_chunk(self, chunk: MSA):
-        Q = len(chunk)
-        S = self.num_sites
-        codes = np.zeros((Q, S), dtype=np.int32)
-        qmasks = np.zeros((Q, S), dtype=np.uint32)
-        ranges = np.zeros((Q, 2), dtype=np.int32)
-        for i, s in enumerate(chunk):
-            if len(s.sequence) != S:
-                raise ValueError(
-                    "Query sequence length not same as reference alignment!")
-            codes[i] = encode_lookup_cols(s.sequence, self.model.num_states)
-            qmasks[i] = encode_states(s.sequence, self.model.num_states)
-            if self.options.premasking:
-                begin, span = get_valid_range(s.sequence)
-                if span == 0:
-                    raise ValueError(
-                        f"Sequence with header '{s.header}' does not appear "
-                        "to have any non-gap sites!")
-            else:
-                begin, span = 0, S
-            ranges[i] = (begin, span)
-        return codes, qmasks, ranges
+        """(codes, qmasks, ranges) for an MSA chunk — all vectorized table
+        lookups over one [Q,S] byte matrix (core.chunk)."""
+        ec = self.encode_msa(chunk)
+        qmasks = self._col_masks[ec.codes]
+        return ec.codes, qmasks, ec.ranges
+
+    def encode_msa(self, chunk: MSA) -> EncodedChunk:
+        if chunk.num_sites and chunk.num_sites != self.num_sites and len(chunk):
+            raise ValueError(
+                "Query sequence length not same as reference alignment!")
+        ec = chunk_mod.from_msa(chunk, self.model.num_states)
+        return self.check_chunk(ec)
+
+    def check_chunk(self, ec: EncodedChunk) -> EncodedChunk:
+        """Validate widths/ranges and apply the premasking option."""
+        if ec.codes.shape[1] != self.num_sites and len(ec):
+            raise ValueError(
+                "Query sequence length not same as reference alignment!")
+        if not self.options.premasking:
+            ec.ranges = np.zeros_like(ec.ranges)
+            ec.ranges[:, 1] = self.num_sites
+        elif len(ec) and (ec.ranges[:, 1] == 0).any():
+            q = int(np.argmax(ec.ranges[:, 1] == 0))
+            raise ValueError(
+                f"Sequence with header '{ec.headers[q][0]}' does not appear "
+                "to have any non-gap sites!")
+        return ec
 
     def preplace(self, codes, ranges) -> np.ndarray:
         """[Q, E] preplacement scores."""
@@ -278,26 +299,31 @@ class PlacementEngine:
         accumulated-LWR cut wanted more edges) fall back to the exact
         host-orchestrated path.
         """
-        return self.finalize_chunk(self.place_chunk_async(chunk,
-                                                          seq_id_offset))
+        result = self.finalize_chunk(self.place_chunk_async(chunk,
+                                                            seq_id_offset))
+        from epa_ng_tpu.core.lwr import ChunkPlacements
+        if isinstance(result, ChunkPlacements):
+            return result.to_pqueries()
+        return result
 
     def place_chunk_async(self, chunk: MSA, seq_id_offset: int = 0):
-        """Encode + dispatch the fused placement step WITHOUT syncing;
-        returns a pending handle for finalize_chunk. The streaming
-        pipeline dispatches chunk N+1 while chunk N's results transfer
-        and assemble (device/host overlap, the TPU analog of the
-        reference's __PREFETCH threads)."""
-        opts = self.options
-        codes, qmasks, ranges = self._encode_chunk(chunk)
+        return self.place_encoded_async(self.encode_msa(chunk),
+                                        seq_id_offset)
 
+    def place_encoded_async(self, ec: EncodedChunk, seq_id_offset: int = 0):
+        """Dispatch the fused placement step WITHOUT syncing; returns a
+        pending handle for finalize_chunk. The streaming pipeline
+        dispatches chunk N+1 while chunk N's results transfer and
+        assemble (device/host overlap, the TPU analog of the reference's
+        __PREFETCH threads)."""
+        opts = self.options
         fused_ok = (opts.prescoring and not opts.prescoring_by_percentage
                     and not opts.baseball
                     and opts.fused_topk < self.num_edges)
         if fused_ok:
-            state = self._dispatch_chunk_fused(chunk, codes, qmasks, ranges,
-                                               seq_id_offset)
+            state = self._dispatch_chunk_fused(ec, seq_id_offset)
             return ("fused", state)
-        return ("exact", (chunk, codes, qmasks, ranges, seq_id_offset))
+        return ("exact", (ec, seq_id_offset))
 
     def finalize_chunk(self, handle) -> list:
         """Sync + assemble a pending chunk from place_chunk_async."""
@@ -308,25 +334,22 @@ class PlacementEngine:
                 return result
             # >20% of queries saturated the top-k budget: whole chunk
             # falls back to the exact path
-            chunk, codes, qmasks, ranges, seq_id_offset = (
-                state["chunk"], state["raw_codes"], state["raw_qmasks"],
-                state["raw_ranges"], state["seq_id_offset"])
+            ec, seq_id_offset = state["ec"], state["seq_id_offset"]
         else:
-            chunk, codes, qmasks, ranges, seq_id_offset = state
-        return self._place_chunk_exact(chunk, codes, qmasks, ranges,
-                                       seq_id_offset)
+            ec, seq_id_offset = state
+        return self._place_chunk_exact(ec, seq_id_offset)
 
-    def _place_chunk_exact(self, chunk, codes, qmasks, ranges,
-                           seq_id_offset) -> list:
+    def _place_chunk_exact(self, ec: EncodedChunk, seq_id_offset) -> list:
         opts = self.options
-        Q = len(chunk)
+        Q = len(ec)
+        codes, ranges = ec.codes, ec.ranges
         if opts.prescoring:
             scores = self.preplace(codes, ranges)
             pair_e, pair_q = heuristics.select_work(scores, opts)
         else:
             pair_e, pair_q = heuristics.all_work(Q, self.num_edges)
 
-        logl, pendant, distal = self._thorough(pair_e, pair_q, qmasks, ranges)
+        logl, pendant, distal = self._thorough(pair_e, pair_q, codes, ranges)
 
         # assemble per-query placement lists
         pqueries = []
@@ -337,7 +360,7 @@ class PlacementEngine:
             idx = np.asarray(by_query[q])
             pqueries.append(PQuery(
                 seq_id=seq_id_offset + q,
-                headers=list(chunk[q].headers),
+                headers=list(ec.headers[q]),
                 edge_nums=pair_e[idx].astype(np.int64),
                 logls=logl[idx],
                 pendant_lengths=pendant[idx],
@@ -347,24 +370,22 @@ class PlacementEngine:
         filter_pqueries(pqueries, opts)
         return pqueries
 
-    def _dispatch_chunk_fused(self, chunk, codes, qmasks, ranges,
-                              seq_id_offset):
+    def _dispatch_chunk_fused(self, ec: EncodedChunk, seq_id_offset):
         """Fused-step fast path, dispatch half: encode-sort-pad, enqueue
         the jitted placement step, return the pending state dict."""
         from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
         opts = self.options
         S = self.num_sites
-        raw_codes, raw_qmasks, raw_ranges = codes, qmasks, ranges
         # sort queries by valid-range begin: pair-blocks of the blocked
         # Pallas kernel then cover tight site windows (the TPU answer to
         # shift_partition_focus, src/core/pll/pll_util.cpp:388-418)
-        perm = np.argsort(ranges[:, 0], kind="stable")
-        codes, qmasks, ranges = codes[perm], qmasks[perm], ranges[perm]
+        perm = np.argsort(ec.ranges[:, 0], kind="stable")
+        codes, ranges = ec.codes[perm], ec.ranges[perm]
         # pad the query count to a power-of-two bucket (capped at the
         # configured chunk size): Q is a traced shape in placement_step, and
         # duplicate-collapsing makes the raw count differ on every chunk —
         # without bucketing each distinct count pays a fresh ~30s compile
-        Qr = len(chunk)
+        Qr = len(ec)
         Qp = 64
         while Qp < Qr:
             Qp *= 2
@@ -372,9 +393,8 @@ class PlacementEngine:
         if Qp > Qr:
             pad = Qp - Qr
             codes = np.concatenate([codes, np.repeat(codes[-1:], pad, 0)])
-            qmasks = np.concatenate([qmasks, np.repeat(qmasks[-1:], pad, 0)])
             ranges = np.concatenate([ranges, np.repeat(ranges[-1:], pad, 0)])
-        tQ, invq = self._query_tensors(qmasks)
+        tQ, invq = self._query_tensors_codes(codes)
         blo = self.blo
         topk = min(opts.fused_topk, self.num_edges)
         W = chunk_site_width(ranges[:, 1], S)
@@ -396,95 +416,185 @@ class PlacementEngine:
             jnp.asarray(opts.prescoring_threshold, self.dtype),
             topk=topk, sliding=opts.sliding_blo,
             site_width=W, packed=True, use_pallas=self._use_pallas(W),
-            block_width=Wb)
+            block_width=Wb,
+            filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
+                        opts.filter_max),
+            filter_threshold=jnp.asarray(opts.support_threshold, self.dtype))
         return {
-            "chunk": chunk, "out": out, "perm": perm, "Qr": Qr,
-            "codes": codes, "qmasks": qmasks, "ranges": ranges,
+            "ec": ec, "out": out, "perm": perm, "Qr": Qr,
+            "codes": codes, "ranges": ranges,
             "tQ": tQ, "invq": invq, "seq_id_offset": seq_id_offset,
-            "raw_codes": raw_codes, "raw_qmasks": raw_qmasks,
-            "raw_ranges": raw_ranges,
         }
 
     def _finalize_chunk_fused(self, state):
         """Fused-step fast path, sync half; returns None when >20% of
-        queries saturate the top-k budget (whole chunk falls back)."""
+        queries saturate the top-k budget (whole chunk falls back).
+
+        The step output arrives LWR-sorted and output-filtered (device-side
+        set_manipulators analog in parallel.mesh._step_epilogue); with no
+        stragglers the host work is one boolean gather into the flat
+        ChunkPlacements columns."""
         opts = self.options
-        chunk, perm, Qr = state["chunk"], state["perm"], state["Qr"]
-        codes, qmasks, ranges = (state["codes"], state["qmasks"],
-                                 state["ranges"])
+        ec, perm, Qr = state["ec"], state["perm"], state["Qr"]
+        headers = ec.headers
+        codes, ranges = state["codes"], state["ranges"]
         tQ, invq = state["tQ"], state["invq"]
         seq_id_offset = state["seq_id_offset"]
         out = np.asarray(state["out"])  # single device->host transfer
         edges = out[0].astype(np.int64)
         logl, lwr, pendant, distal = out[1], out[2], out[3], out[4]
-        valid = out[5] > 0.5
-        computed = out[6] > 0.5
+        keep = out[5] > 0.5
+        flags = np.rint(out[6][:, 0]).astype(np.int32)
         # saturated = every top-k slot selected: the dynamic cut may have
         # wanted more candidates than the static budget (ignore the
         # padded replica rows beyond the real query count)
-        saturated = valid.all(axis=1)
+        saturated = (flags & 1) > 0
         if saturated[:Qr].mean() > 0.2:
             return None
         # a live candidate the blocked kernel could not fit into its site
         # window (block begin-spread wider than the planned static width)
         # was not optimized -> that query re-runs exactly below
-        misfit = (valid & ~computed).any(axis=1)
+        misfit = (flags & 2) > 0
+        redo = np.nonzero((saturated | misfit)[:Qr])[0].tolist()
 
-        # row q of the outputs is original query perm[q]; rebuild the
-        # pquery list in input order
-        pqueries = [None] * len(chunk)
-        redo = []
-        for q in range(len(chunk)):
-            oq = int(perm[q])
-            if saturated[q] or misfit[q]:
-                redo.append(q)
-                continue
-            keep = valid[q]
-            pqueries[oq] = PQuery(
-                seq_id=seq_id_offset + oq,
-                headers=list(chunk[oq].headers),
-                edge_nums=edges[q, keep].astype(np.int64),
-                logls=logl[q, keep],
-                pendant_lengths=pendant[q, keep],
-                distal_lengths=distal[q, keep],
-                lwrs=lwr[q, keep])
-
+        # row q of the outputs is original query perm[q]; map every array
+        # back to input order and flat-gather the kept placements
+        sortrow = np.empty(Qr, dtype=np.int64)
+        sortrow[perm] = np.arange(Qr)
+        keep_o = keep[:Qr][sortrow]
         if redo:
-            # exact slow path for the saturated queries only; pad the
-            # query subset to a power of two so the jitted preplace /
-            # candidate-mask shapes stay cached across chunks
-            n_redo = len(redo)
-            padded = 1
-            while padded < n_redo:
-                padded *= 2
-            redo_pad = redo + [redo[-1]] * (padded - n_redo)
-            scores = self.preplace(codes[redo_pad], ranges[redo_pad])
-            sub_e, sub_q = heuristics.select_work(scores[:n_redo], opts)
-            logl2, pend2, dist2 = self._thorough(
-                sub_e, np.asarray(redo, np.int32)[sub_q], qmasks, ranges,
-                qt=(tQ, invq))
-            by_query: dict[int, list[int]] = {}
-            for i, qq in enumerate(sub_q):
-                by_query.setdefault(int(qq), []).append(i)
-            sub_pqs = []
-            for qq in sorted(by_query):
-                idx = np.asarray(by_query[qq])
-                oq = int(perm[redo[qq]])
-                pq = PQuery(
-                    seq_id=seq_id_offset + oq,
-                    headers=list(chunk[oq].headers),
-                    edge_nums=sub_e[idx].astype(np.int64),
-                    logls=logl2[idx],
-                    pendant_lengths=pend2[idx],
-                    distal_lengths=dist2[idx])
-                sub_pqs.append(pq)
-                pqueries[oq] = pq
-            compute_and_set_lwr(sub_pqs)
+            # stragglers get spliced in below; blank their batch rows
+            keep_o[perm[redo]] = False
+        sel = keep_o.reshape(-1)
+        flat = lambda a: a[:Qr][sortrow].reshape(-1)[sel]
+        counts = keep_o.sum(axis=1).astype(np.int32)
+        cp = ChunkPlacements(
+            headers=headers, counts=counts,
+            edges=flat(edges), logls=flat(logl), lwrs=flat(lwr),
+            pendants=flat(pendant), distals=flat(distal),
+            seq_id_offset=seq_id_offset)
+        if not redo:
+            return cp
 
-        filter_pqueries(pqueries, opts)
-        return pqueries
+        # stragglers whose accumulated-LWR cut wanted more than the fused
+        # top-k budget (~0.03% of queries at the default 16): rerun the
+        # SAME fused step with a 16x candidate budget — one extra device
+        # dispatch instead of a host-orchestrated preplace/select/Newton
+        # dance (each host sync costs a full tunnel round trip)
+        sub_pqs = self._redo_wide(redo, codes, ranges, tQ, invq, perm,
+                                  headers, seq_id_offset)
 
-    def _thorough(self, pair_e, pair_q, qmasks, ranges, qt=None):
+        # splice the redo queries' placements into the flat columns at
+        # their (currently count-0) offsets
+        offs = cp.offsets
+        oqs = [int(perm[q]) for q in redo]
+        ins_at = np.concatenate([
+            np.repeat(offs[oq], len(pq.edge_nums))
+            for oq, pq in zip(oqs, sub_pqs)])
+        order = np.argsort(ins_at, kind="stable")
+
+        def splice(col, vals):
+            return np.insert(col, ins_at[order],
+                             np.concatenate(vals)[order])
+
+        cp.edges = splice(cp.edges, [pq.edge_nums for pq in sub_pqs])
+        cp.logls = splice(cp.logls, [pq.logls for pq in sub_pqs])
+        cp.lwrs = splice(cp.lwrs, [pq.lwrs for pq in sub_pqs])
+        cp.pendants = splice(cp.pendants,
+                             [pq.pendant_lengths for pq in sub_pqs])
+        cp.distals = splice(cp.distals,
+                            [pq.distal_lengths for pq in sub_pqs])
+        for oq, pq in zip(oqs, sub_pqs):
+            cp.counts[oq] = len(pq.edge_nums)
+        return cp
+
+    def _redo_wide(self, redo, codes, ranges, tQ, invq, perm, headers,
+                   seq_id_offset) -> list:
+        """Place the budget-saturated / window-misfit stragglers with ONE
+        wide-budget (256 candidates) fused step; returns a filtered PQuery
+        per redo row, in redo order. Queries that saturate even the wide
+        budget (pathologically flat posteriors) fall back to the exact
+        host-orchestrated path."""
+        from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
+        opts = self.options
+        n_redo = len(redo)
+        k2 = min(256, self.num_edges)
+        Qp = 8
+        while Qp < n_redo:
+            Qp *= 2
+        idx = np.asarray(redo + [redo[-1]] * (Qp - n_redo))
+        sub_r = ranges[idx]
+        W2 = chunk_site_width(sub_r[:, 1], self.num_sites)
+        blo = self.blo
+        idx_j = jnp.asarray(idx)
+        out = placement_step(
+            self.consts, self.lookup_table, blo.tU, blo.tV, blo.ls,
+            blo.lengths, jnp.asarray(codes[idx]), jnp.asarray(sub_r[:, 0]),
+            jnp.asarray(sub_r[:, 1]), tQ[idx_j], invq[idx_j],
+            jnp.asarray(opts.prescoring_threshold, self.dtype),
+            topk=k2, sliding=opts.sliding_blo, site_width=W2, packed=True,
+            use_pallas=False,
+            filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
+                        opts.filter_max),
+            filter_threshold=jnp.asarray(opts.support_threshold, self.dtype))
+        out = np.asarray(out)
+        edges2 = out[0].astype(np.int64)
+        keep2 = out[5] > 0.5
+        flags2 = np.rint(out[6][:, 0]).astype(np.int32)
+        exact_rows = ([i for i in range(n_redo) if flags2[i] & 1]
+                      if k2 < self.num_edges else [])
+        exact_pqs = iter(self._redo_exact(
+            [redo[i] for i in exact_rows], codes, ranges, tQ, invq, perm,
+            headers, seq_id_offset)) if exact_rows else iter(())
+        exact_set = set(exact_rows)
+        sub_pqs = []
+        for i in range(n_redo):
+            if i in exact_set:
+                sub_pqs.append(next(exact_pqs))
+                continue
+            k = keep2[i]
+            oq = int(perm[redo[i]])
+            sub_pqs.append(PQuery(
+                seq_id=seq_id_offset + oq, headers=list(headers[oq]),
+                edge_nums=edges2[i, k], logls=out[1][i, k],
+                pendant_lengths=out[3][i, k], distal_lengths=out[4][i, k],
+                lwrs=out[2][i, k]))
+        return sub_pqs
+
+    def _redo_exact(self, redo, codes, ranges, tQ, invq, perm, headers,
+                    seq_id_offset) -> list:
+        """Exact host-orchestrated placement of the given (sorted-space)
+        query rows; returns filtered PQueries in redo order."""
+        opts = self.options
+        n_redo = len(redo)
+        padded = 1
+        while padded < n_redo:
+            padded *= 2
+        redo_pad = redo + [redo[-1]] * (padded - n_redo)
+        scores = self.preplace(codes[redo_pad], ranges[redo_pad])
+        sub_e, sub_q = heuristics.select_work(scores[:n_redo], opts)
+        logl2, pend2, dist2 = self._thorough(
+            sub_e, np.asarray(redo, np.int32)[sub_q], codes, ranges,
+            qt=(tQ, invq))
+        by_query: dict[int, list[int]] = {}
+        for i, qq in enumerate(sub_q):
+            by_query.setdefault(int(qq), []).append(i)
+        sub_pqs = []
+        for qq in sorted(by_query):
+            sel = np.asarray(by_query[qq])
+            oq = int(perm[redo[qq]])
+            sub_pqs.append(PQuery(
+                seq_id=seq_id_offset + oq,
+                headers=list(headers[oq]),
+                edge_nums=sub_e[sel].astype(np.int64),
+                logls=logl2[sel],
+                pendant_lengths=pend2[sel],
+                distal_lengths=dist2[sel]))
+        compute_and_set_lwr(sub_pqs)
+        filter_pqueries(sub_pqs, opts)
+        return sub_pqs
+
+    def _thorough(self, pair_e, pair_q, codes, ranges, qt=None):
         """Blocked vmapped Newton BLO over the pair list, with range
         bucketing: pairs are grouped by their query's valid-range width
         (rounded up to powers of two) and each bucket computes only a
@@ -496,7 +606,7 @@ class PlacementEngine:
         block = opts.blo_block
 
         # query tip tensors for this chunk (qt: precomputed (tQ, invq))
-        tQ, invq = qt if qt is not None else self._query_tensors(qmasks)
+        tQ, invq = qt if qt is not None else self._query_tensors_codes(codes)
 
         begins = ranges[:, 0].astype(np.int32)
         spans = ranges[:, 1].astype(np.int32)
@@ -616,6 +726,14 @@ class PlacementEngine:
             raise RuntimeError(
                 f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
         return out_logl, out_pendant, out_distal
+
+
+@jax.jit
+def _transform_codes_jit(consts, char_clvs, codes):
+    """tQ [Q,K|RK,S] from the lookup-code matrix: gather per-column tip-CLV
+    rows on device, then eigen-transform (newton.transform_queries)."""
+    qclv = jnp.transpose(char_clvs[codes], (0, 2, 1))  # [Q,K,S]
+    return newton.transform_queries(consts, qclv)
 
 
 @partial(jax.jit, static_argnames=("pinv",))

@@ -30,6 +30,58 @@ class PQuery:
     lwrs: np.ndarray = None     # [P]
 
 
+@dataclass
+class ChunkPlacements:
+    """One chunk's filtered placements in flat column form (the analog of
+    Sample<Placement>, src/sample/Sample.hpp, but structure-of-arrays):
+    query q owns rows [offsets[q], offsets[q] + counts[q]) of the flat
+    arrays, already sorted by LWR descending. This is what the fused
+    device step hands to the jplace writer — no per-query objects on the
+    hot path."""
+    headers: list               # list[list[str]], one per query
+    counts: np.ndarray          # [Q] int32
+    edges: np.ndarray           # [sum(counts)] int64
+    logls: np.ndarray           # [sum(counts)]
+    lwrs: np.ndarray            # [sum(counts)]
+    pendants: np.ndarray        # [sum(counts)]
+    distals: np.ndarray         # [sum(counts)]
+    seq_id_offset: int = 0
+
+    def __len__(self) -> int:
+        return len(self.headers)
+
+    @property
+    def offsets(self) -> np.ndarray:
+        return np.concatenate([[0], np.cumsum(self.counts)])
+
+    def to_pqueries(self) -> list[PQuery]:
+        offs = self.offsets
+        return [
+            PQuery(seq_id=self.seq_id_offset + q, headers=list(h),
+                   edge_nums=self.edges[offs[q]:offs[q + 1]],
+                   logls=self.logls[offs[q]:offs[q + 1]],
+                   pendant_lengths=self.pendants[offs[q]:offs[q + 1]],
+                   distal_lengths=self.distals[offs[q]:offs[q + 1]],
+                   lwrs=self.lwrs[offs[q]:offs[q + 1]])
+            for q, h in enumerate(self.headers)]
+
+    @classmethod
+    def from_pqueries(cls, pqueries: list[PQuery],
+                      seq_id_offset: int = 0) -> "ChunkPlacements":
+        cat = (lambda arrs, dt: np.concatenate(arrs) if arrs
+               else np.zeros(0, dt))
+        return cls(
+            headers=[list(pq.headers) for pq in pqueries],
+            counts=np.array([len(pq.edge_nums) for pq in pqueries],
+                            dtype=np.int32),
+            edges=cat([pq.edge_nums for pq in pqueries], np.int64),
+            logls=cat([pq.logls for pq in pqueries], np.float64),
+            lwrs=cat([pq.lwrs for pq in pqueries], np.float64),
+            pendants=cat([pq.pendant_lengths for pq in pqueries], np.float64),
+            distals=cat([pq.distal_lengths for pq in pqueries], np.float64),
+            seq_id_offset=seq_id_offset)
+
+
 def compute_and_set_lwr(pqueries: list[PQuery]):
     """Max-shifted softmax per query (set_manipulators.cpp:43-69)."""
     for pq in pqueries:

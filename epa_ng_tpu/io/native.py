@@ -236,3 +236,15 @@ class NativeMSAStream:
         for i, label in enumerate(labels):
             seqs.append(Sequence([label], rows[i].tobytes().decode("ascii")))
         return msa
+
+    def read_next_encoded(self, chunk_size: int, num_states: int):
+        """One chunk as an EncodedChunk: byte rows straight from the mmap
+        scan, vectorized-encoded — no per-sequence python strings at all."""
+        from epa_ng_tpu.core import chunk as chunk_mod
+        labels, rows = self._reader.read_chunk(chunk_size)
+        if labels is None:
+            return None
+        headers = [[label] for label in labels]
+        codes, ranges = chunk_mod.encode_rows(rows, num_states, headers)
+        return chunk_mod.EncodedChunk(headers=headers, codes=codes,
+                                      ranges=ranges)

@@ -99,14 +99,17 @@ def preplace_select(table, codes, begins, spans, threshold, topk: int):
 
 
 @partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed",
-                                   "use_pallas", "block_width", "phase1"))
+                                   "use_pallas", "block_width", "phase1",
+                                   "filter_cfg"))
 def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                    codes, begins, spans, tQ, invq, prescoring_threshold,
                    topk: int = 8, sliding: bool = True,
                    site_width: int | None = None, packed: bool = False,
                    use_pallas: bool = False,
                    block_width: int | None = None,
-                   phase1: int = 2):
+                   phase1: int = 2,
+                   filter_cfg: tuple | None = None,
+                   filter_threshold=0.0):
     """One fused placement step over a query chunk.
 
     table: [E,C,S] preplacement lookup; tU, tV: [E,RK,S] eigen-transformed
@@ -268,7 +271,9 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
         distal = unsort(distal_s).reshape(Q, topk)
         computed = unsort(computed_pair[:B].astype(dtype)).reshape(Q, topk)
         return _step_epilogue(top_edges, logl, pendant, distal, valid,
-                              dtype, packed, computed=computed)
+                              dtype, packed, computed=computed,
+                              filter_cfg=filter_cfg,
+                              filter_threshold=filter_threshold)
 
     W = S if site_width is None else min(site_width, S)
     win_begin = jnp.minimum(begins, S - W)
@@ -305,11 +310,13 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     pendant = pendant.reshape(Q, topk)
     distal = distal_rep.reshape(Q, topk)
     return _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
-                          packed)
+                          packed, filter_cfg=filter_cfg,
+                          filter_threshold=filter_threshold)
 
 
 def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
-                   packed: bool, computed=None):
+                   packed: bool, computed=None, filter_cfg=None,
+                   filter_threshold=0.0):
     # --- LWR over the valid (and actually computed) candidates; a valid
     # pair the blocked kernel could not fit into its site window must not
     # poison the softmax — its query is re-run exactly by the engine
@@ -321,6 +328,36 @@ def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
     m = jnp.max(masked_logl, axis=1, keepdims=True)
     exl = jnp.where(ok, jnp.exp(masked_logl - m), 0.0)
     lwr = exl / jnp.sum(exl, axis=1, keepdims=True)
+
+    if filter_cfg is not None:
+        # --- output filtering ON DEVICE (the analog of
+        # set_manipulators.cpp:131-204 run on the host per pquery): sort
+        # each query's candidates by LWR desc, then keep a prefix count by
+        # the min-LWR / accumulated-LWR rule, clamped to
+        # [min(fmin, n_ok), min(fmax, n_ok)]. The host then only slices.
+        acc, fmin, fmax = filter_cfg
+        order = jnp.argsort(-lwr, axis=1, stable=True)
+        take = lambda x: jnp.take_along_axis(x, order, axis=1)
+        edges_s, logl_s, lwr_s = take(top_edges), take(logl), take(lwr)
+        pend_s, dist_s, ok_s = take(pendant), take(distal), take(ok)
+        thr = jnp.asarray(filter_threshold, dtype)
+        if acc:
+            prefix = jnp.cumsum(lwr_s * ok_s, axis=1) - lwr_s * ok_s
+            n_keep = jnp.sum((prefix < thr) & ok_s, axis=1)
+        else:
+            n_keep = jnp.sum((lwr_s > thr) & ok_s, axis=1)
+        n_ok = jnp.sum(ok_s, axis=1)
+        n_keep = jnp.clip(n_keep, jnp.minimum(fmin, n_ok),
+                          jnp.minimum(fmax, n_ok))
+        rank = jnp.cumsum(ok_s.astype(jnp.int32), axis=1) - 1
+        keep = ok_s & (rank < n_keep[:, None])
+        saturated = jnp.all(valid, axis=1)
+        misfit = jnp.any(valid & ~(computed > 0), axis=1)
+        flags = (saturated.astype(dtype)
+                 + 2.0 * misfit.astype(dtype))[:, None]
+        flags = jnp.broadcast_to(flags, keep.shape)
+        return jnp.stack([edges_s.astype(dtype), logl_s, lwr_s, pend_s,
+                          dist_s, keep.astype(dtype), flags])
 
     if packed:
         # one [7, Q, topk] array => a single device->host transfer

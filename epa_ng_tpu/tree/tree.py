@@ -151,6 +151,21 @@ class RtreeMapper:
             return self.rtree_distal_edge, distal_length
         return self.mapping[branch_id], distal_length
 
+    def in_rtree_batch(self, edges: np.ndarray,
+                       distals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized :meth:`in_rtree` over flat placement arrays."""
+        e = np.asarray(edges, dtype=np.int64)
+        out_e = np.asarray(self.mapping, dtype=np.int64)[e]
+        out_d = np.asarray(distals, dtype=np.float64).copy()
+        root = e == self.utree_root_edge
+        if root.any():
+            over = root & (out_d > self.distal_length)
+            out_e[root] = self.rtree_distal_edge
+            out_e[over] = self.rtree_proximal_edge
+            out_d[over] = self.proximal_length - (out_d[over]
+                                                  - self.distal_length)
+        return out_e, out_d
+
     def map_at(self, i: int) -> int:
         if i == self.utree_root_edge:
             raise ValueError(f"edge {i} is the root edge; handle separately")
@@ -350,6 +365,25 @@ class Tree:
         return float(self.edge_lengths.sum())
 
     # -- output ------------------------------------------------------------
+
+    def plain_newick(self, precision: int = 10) -> str:
+        """Plain unrooted newick (no edge-number annotations) — e.g. for
+        writing synthetic benchmark inputs back to disk."""
+        fmt = f"{{:.{precision}f}}"
+
+        def rec(nid: int) -> str:
+            if self.node_children[nid]:
+                inner = ",".join(rec(c) for c in self.node_children[nid])
+                lbl = self.node_label[nid] or ""
+                return (f"({inner}){lbl}"
+                        f":{fmt.format(float(self.edge_lengths[self.node_edge[nid]]))}")
+            return (f"{self.node_label[nid] or ''}"
+                    f":{fmt.format(float(self.edge_lengths[self.node_edge[nid]]))}")
+
+        kids = self.node_children[self.vroot]
+        inner = ",".join(rec(c) for c in kids)
+        lbl = self.node_label[self.vroot] or ""
+        return f"({inner}){lbl};"
 
     def numbered_newick(self, precision: int = 10) -> str:
         """Newick with {edge_num} annotations, matching the reference's

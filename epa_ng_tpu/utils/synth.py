@@ -87,3 +87,24 @@ def synth_dataset(n_taxa=64, sites=400, n_queries=256, seed=0):
     ref = random_msa(tree.labels, sites, seed + 1)
     qry = random_queries(n_queries, sites, seed + 2)
     return tree, ref, qry
+
+
+def write_fasta(msa: MSA, path: str):
+    with open(path, "w") as f:
+        for s in msa:
+            f.write(f">{s.header}\n{s.sequence}\n")
+
+
+def synth_files(outdir: str, n_taxa=64, sites=400, n_queries=256, seed=0):
+    """Write tree.nwk / ref.fasta / query.fasta for end-to-end (file ->
+    jplace) runs; returns their paths."""
+    import os
+    tree, ref, qry = synth_dataset(n_taxa, sites, n_queries, seed)
+    tpath = os.path.join(outdir, "tree.nwk")
+    rpath = os.path.join(outdir, "ref.fasta")
+    qpath = os.path.join(outdir, "query.fasta")
+    with open(tpath, "w") as f:
+        f.write(tree.plain_newick() + "\n")
+    write_fasta(ref, rpath)
+    write_fasta(qry, qpath)
+    return tpath, rpath, qpath

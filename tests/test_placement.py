@@ -141,7 +141,7 @@ def test_blo_never_worse_than_start(engine, queries):
     scores = engine.preplace(codes, ranges)
     from epa_ng_tpu.core import heuristics
     pair_e, pair_q = heuristics.all_work(len(queries), engine.num_edges)
-    logl, _, _ = engine._thorough(pair_e, pair_q, qmasks, ranges)
+    logl, _, _ = engine._thorough(pair_e, pair_q, codes, ranges)
     for l, e, q in zip(logl, pair_e, pair_q):
         assert l >= scores[q, e] - 1e-8, (e, q, l, scores[q, e])
 
