@@ -18,6 +18,7 @@ import os
 import shlex
 import sys
 import time
+from typing import Optional
 
 from epa_ng_tpu import __version__
 from epa_ng_tpu.utils.options import NumericalScaling, Options
@@ -134,7 +135,36 @@ def build_parser() -> argparse.ArgumentParser:
     comp.add_argument("--blo-block", type=int, default=None,
                       help="Batch size for the thorough-placement Newton "
                            "kernel (TPU extension).")
+    comp.add_argument("--distributed", nargs="?", const="auto", default=None,
+                      metavar="COORD,N,IDX",
+                      help="Initialize jax.distributed for a multi-host "
+                           "run: no value = auto-detect (SLURM/OpenMPI/TPU "
+                           "pod env), or 'coordinator:port,num_procs,"
+                           "process_id' explicitly. Alternatively set "
+                           "EPA_NG_TPU_DISTRIBUTED. (The analog of the "
+                           "reference's MPI_Init, src/main.cpp:53.)")
     return p
+
+
+def maybe_init_distributed(spec: Optional[str]):
+    """jax.distributed.initialize() from --distributed / env. Must run
+    before any other jax usage (it selects the global device topology)."""
+    spec = spec or os.environ.get("EPA_NG_TPU_DISTRIBUTED") or None
+    if spec is None:
+        return
+    import jax
+    if spec in ("auto", "1", "true"):
+        jax.distributed.initialize()
+    else:
+        try:
+            coord, num, idx = spec.rsplit(",", 2)
+            jax.distributed.initialize(
+                coordinator_address=coord, num_processes=int(num),
+                process_id=int(idx))
+        except ValueError as e:
+            raise SystemExit(
+                f"Error: bad --distributed spec {spec!r} "
+                "(want coordinator:port,num_procs,process_id)") from e
 
 
 def options_from_args(args) -> Options:
@@ -246,8 +276,15 @@ def main(argv=None) -> int:
         split(ref, queries, outdir)
         return 0
 
+    # multi-host topology must be known before logging (per-rank log
+    # files, rank-0-only stdout — reference: src/main.cpp:53-64,308-320)
+    maybe_init_distributed(args.distributed)
+    from epa_ng_tpu.parallel.dist import process_info
+    pidx, pcount = process_info()
+
     from epa_ng_tpu.utils.logging import setup_logging
-    setup_logging(outdir, verbose=args.verbose, redo=args.redo)
+    setup_logging(outdir, verbose=args.verbose, redo=args.redo,
+                  process_index=pidx, process_count=pcount)
     log.info(BANNER + f"(v{__version__})\n")
 
     # persistent XLA compilation cache: repeat runs (and the many
@@ -348,9 +385,8 @@ def main(argv=None) -> int:
 
     # --- placement loop (the analog of simple_mpi, src/core/place.cpp:173)
     from epa_ng_tpu.io.jplace import JplaceWriter
-    from epa_ng_tpu.parallel.dist import process_info, merge_jplace_shards
+    from epa_ng_tpu.parallel.dist import merge_jplace_shards
 
-    pidx, pcount = process_info()
     start_place = time.time()
 
     reader = fio.make_msa_reader(args.query, qry_info, options.premasking,
