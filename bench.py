@@ -144,8 +144,11 @@ def run_e2e():
             "-m", MODEL, "-w", tmp, "--redo", "--chunk-size", "1024"]
 
     stats = []
+    import contextlib
+    import io
     for _ in range(2):  # first run warms the persistent compile cache
-        rc = cli.main(args)
+        with contextlib.redirect_stdout(io.StringIO()):
+            rc = cli.main(args)  # bench stdout must stay one JSON line
         assert rc == 0, f"e2e CLI run failed rc={rc}"
         stats.append(dict(cli.LAST_RUN_STATS))
     s = stats[-1]
@@ -156,6 +159,45 @@ def run_e2e():
             "read_s": s["read_s"], "compute_s": s["compute_s"],
             "write_s": s["write_s"],
             "cold_placing_s": stats[0]["placing_s"]}
+
+
+def run_pallas_parity():
+    """On-hardware equality gate: the SAME queries placed with the Pallas
+    Newton kernels (pallas=on: blocked-window + per-pair variants) and the
+    XLA kernel (pallas=off) must agree. Interpret-mode CPU equality is
+    covered by tests/test_pallas.py; this catches Mosaic lowering
+    differences on the real chip. Returns None off-TPU."""
+    import numpy as np
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+
+    from epa_ng_tpu.core.engine import PlacementEngine
+    from epa_ng_tpu.io.fasta import MSA
+    from epa_ng_tpu.models import Model
+    from epa_ng_tpu.utils.options import Options
+    from epa_ng_tpu.utils.synth import synth_dataset
+
+    tree, ref, qry = synth_dataset(n_taxa=128, sites=256, n_queries=256,
+                                   seed=11)
+    model = Model.from_string(MODEL)
+    engine = PlacementEngine(tree, ref, model,
+                             Options(compute_dtype="f32", pallas="off"))
+    msa = MSA(sequences=qry.sequences, num_sites=qry.num_sites)
+    off = engine.place_chunk(msa)
+    engine.options.pallas = "on"
+    on = engine.place_chunk(msa)
+    max_d = 0.0
+    for a, b in zip(off, on):
+        assert list(a.edge_nums) == list(b.edge_nums), \
+            "pallas/XLA candidate sets diverge"
+        max_d = max(max_d, float(np.max(np.abs(a.logls - b.logls))))
+        max_d = max(max_d,
+                    float(np.max(np.abs(a.pendant_lengths
+                                        - b.pendant_lengths))))
+    return {"parity": bool(max_d <= 1e-4), "max_abs_diff": max_d}
 
 
 def main():
@@ -188,6 +230,15 @@ def main():
         if mode == "--e2e":
             result["value"] = result["e2e_qps"]
             result["vs_baseline"] = round(e2e["qps"] / REFERENCE_NODE_QPS, 3)
+    if mode in ("all", "--parity"):
+        parity = run_pallas_parity()
+        if parity is None:
+            result["pallas_parity"] = "skipped (not on TPU)"
+        else:
+            result["pallas_parity"] = parity["parity"]
+            result["pallas_max_dlogl"] = round(parity["max_abs_diff"], 8)
+            assert parity["parity"], (
+                f"Pallas/XLA divergence on hardware: {parity}")
 
     print(json.dumps(result))
 

@@ -135,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
     comp.add_argument("--blo-block", type=int, default=None,
                       help="Batch size for the thorough-placement Newton "
                            "kernel (TPU extension).")
+    comp.add_argument("--lookup-dtype", choices=["auto", "bf16"],
+                      default=None,
+                      help="Preplacement lookup-table storage: bf16 halves "
+                           "its HBM footprint on huge trees (TPU "
+                           "extension; ranking-only precision impact).")
     comp.add_argument("--distributed", nargs="?", const="auto", default=None,
                       metavar="COORD,N,IDX",
                       help="Initialize jax.distributed for a multi-host "
@@ -225,6 +230,8 @@ def options_from_args(args) -> Options:
         o.compute_dtype = args.compute_dtype
     if args.blo_block is not None:
         o.blo_block = args.blo_block
+    if args.lookup_dtype is not None:
+        o.lookup_dtype = args.lookup_dtype
     return o
 
 

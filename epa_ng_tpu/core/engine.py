@@ -135,6 +135,16 @@ class PlacementEngine:
         self._lookup_cols = lookup_chars(self.model.num_states)
         self._col_masks = chunk_mod.col_state_masks(self.model.num_states)
 
+        # HBM diet: placement runs only ever read the lookup table and the
+        # eigen-transformed BLO store; the raw edge CLVs (U/V/lsU/lsV, 2x
+        # the BLO store's footprint) are freed once both are derived.
+        # --dump-binary keeps them: the store serializes U/V (the analog of
+        # the reference's pll partition dump, src/io/Binary.cpp:211-287).
+        if not self.options.dump_binary_mode:
+            _ = self.lookup_table
+            _ = self.blo
+            self.edges = None
+
     # ------------------------------------------------------------------
 
     def _reference_logl(self) -> float:
@@ -192,13 +202,22 @@ class PlacementEngine:
 
     @property
     def lookup_table(self):
-        """[E, C, S] preplacement table, built on first use (the analog of
-        Lookup_Store's lazy per-branch init, built in one shot)."""
+        """[E, C, S] preplacement table (the analog of Lookup_Store, built
+        in one shot) — or, with ``lookup_dtype="bf16"``, a (resid bf16,
+        mean f32) split pair that halves the dominant big-tree buffer."""
         if self._lookup_table is None:
+            if self.edges is None:
+                raise RuntimeError(
+                    "edge tensors were freed; the lookup table must be "
+                    "built during engine init")
             et = self.edges
-            self._lookup_table = lookup.build_lookup_tables(
+            table = lookup.build_lookup_tables(
                 self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths,
                 self._char_clvs, self._inv_logfreq_chars())
+            if self.options.lookup_dtype == "bf16":
+                self._lookup_table = lookup.split_table(table, jnp.bfloat16)
+            else:
+                self._lookup_table = table
         return self._lookup_table
 
     @property
@@ -317,13 +336,28 @@ class PlacementEngine:
         assemble (device/host overlap, the TPU analog of the reference's
         __PREFETCH threads)."""
         opts = self.options
-        fused_ok = (opts.prescoring and not opts.prescoring_by_percentage
-                    and not opts.baseball
-                    and opts.fused_topk < self.num_edges)
-        if fused_ok:
-            state = self._dispatch_chunk_fused(ec, seq_id_offset)
-            return ("fused", state)
+        if opts.prescoring:
+            mode = heuristics.heuristic_mode(opts)
+            topk = self._fused_budget(mode)
+            if topk < self.num_edges:
+                state = self._dispatch_chunk_fused(ec, seq_id_offset,
+                                                   mode, topk)
+                return ("fused", state)
         return ("exact", (ec, seq_id_offset))
+
+    def _fused_budget(self, mode: str) -> int:
+        """Static top-k candidate budget of the fused step per heuristic.
+        fixed/baseball have exact static budgets (top-x% count; the 40-
+        pitch cap), so the fused path covers them with zero saturation;
+        dynamic uses the configured budget + wide-redo fallback."""
+        opts = self.options
+        if mode == "fixed":
+            import math
+            return min(int(math.ceil(opts.prescoring_threshold
+                                     * self.num_edges)), self.num_edges)
+        if mode == "baseball":
+            return min(40, self.num_edges)
+        return min(opts.fused_topk, self.num_edges)
 
     def finalize_chunk(self, handle) -> list:
         """Sync + assemble a pending chunk from place_chunk_async."""
@@ -370,7 +404,9 @@ class PlacementEngine:
         filter_pqueries(pqueries, opts)
         return pqueries
 
-    def _dispatch_chunk_fused(self, ec: EncodedChunk, seq_id_offset):
+    def _dispatch_chunk_fused(self, ec: EncodedChunk, seq_id_offset,
+                              heur_mode: str = "dynamic",
+                              topk: int | None = None):
         """Fused-step fast path, dispatch half: encode-sort-pad, enqueue
         the jitted placement step, return the pending state dict."""
         from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
@@ -396,7 +432,7 @@ class PlacementEngine:
             ranges = np.concatenate([ranges, np.repeat(ranges[-1:], pad, 0)])
         tQ, invq = self._query_tensors_codes(codes)
         blo = self.blo
-        topk = min(opts.fused_topk, self.num_edges)
+        topk = self._fused_budget(heur_mode) if topk is None else topk
         W = chunk_site_width(ranges[:, 1], S)
         Wb = None
         if self._use_pallas(W):
@@ -419,11 +455,13 @@ class PlacementEngine:
             block_width=Wb,
             filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
                         opts.filter_max),
-            filter_threshold=jnp.asarray(opts.support_threshold, self.dtype))
+            filter_threshold=jnp.asarray(opts.support_threshold, self.dtype),
+            heur_mode=heur_mode)
         return {
             "ec": ec, "out": out, "perm": perm, "Qr": Qr,
             "codes": codes, "ranges": ranges,
             "tQ": tQ, "invq": invq, "seq_id_offset": seq_id_offset,
+            "heur_mode": heur_mode,
         }
 
     def _finalize_chunk_fused(self, state):
@@ -482,7 +520,8 @@ class PlacementEngine:
         # dispatch instead of a host-orchestrated preplace/select/Newton
         # dance (each host sync costs a full tunnel round trip)
         sub_pqs = self._redo_wide(redo, codes, ranges, tQ, invq, perm,
-                                  headers, seq_id_offset)
+                                  headers, seq_id_offset,
+                                  state.get("heur_mode", "dynamic"))
 
         # splice the redo queries' placements into the flat columns at
         # their (currently count-0) offsets
@@ -509,16 +548,18 @@ class PlacementEngine:
         return cp
 
     def _redo_wide(self, redo, codes, ranges, tQ, invq, perm, headers,
-                   seq_id_offset) -> list:
+                   seq_id_offset, heur_mode: str = "dynamic") -> list:
         """Place the budget-saturated / window-misfit stragglers with ONE
         wide-budget (256 candidates) fused step; returns a filtered PQuery
         per redo row, in redo order. Queries that saturate even the wide
         budget (pathologically flat posteriors) fall back to the exact
-        host-orchestrated path."""
+        host-orchestrated path. fixed/baseball queries only land here on
+        window misfit; their budget is already exact."""
         from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
         opts = self.options
         n_redo = len(redo)
-        k2 = min(256, self.num_edges)
+        k2 = (min(256, self.num_edges) if heur_mode == "dynamic"
+              else self._fused_budget(heur_mode))
         Qp = 8
         while Qp < n_redo:
             Qp *= 2
@@ -533,7 +574,7 @@ class PlacementEngine:
             jnp.asarray(sub_r[:, 1]), tQ[idx_j], invq[idx_j],
             jnp.asarray(opts.prescoring_threshold, self.dtype),
             topk=k2, sliding=opts.sliding_blo, site_width=W2, packed=True,
-            use_pallas=False,
+            use_pallas=False, heur_mode=heur_mode,
             filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
                         opts.filter_max),
             filter_threshold=jnp.asarray(opts.support_threshold, self.dtype))

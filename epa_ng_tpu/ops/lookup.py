@@ -85,31 +85,61 @@ def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
     return jnp.maximum(table, jnp.finfo(table.dtype).min / 2)
 
 
-@jax.jit
-def preplace_scores(table, codes, begins, spans):
-    """scores[q, e] = masked gather-sum of the lookup table.
+def split_table(table, resid_dtype=None):
+    """(resid, mean) split of a lookup table: mean [E,S] stays full
+    precision, the small-magnitude residuals [E,C,S] may be stored bf16 —
+    halving the engine's dominant big-tree buffer at <0.1 logl-unit score
+    error (the thorough stage recomputes exact logls anyway)."""
+    mean = jnp.mean(table, axis=1)
+    resid = table - mean[:, None, :]
+    if resid_dtype is not None:
+        resid = resid.astype(resid_dtype)
+    return resid, mean
 
-    table: [E,C,S]; codes: [Q,S] lookup-column ids; begins/spans: [Q] valid
-    ranges (reference premasking semantics: sites outside the range
+
+def preplace_scores_core(table, codes, begins, spans):
+    """scores[q, e] = masked gather-sum of the lookup table (trace-time
+    building block shared by the fused placement step and the exact path).
+
+    table: [E,C,S], or a (resid [E,C,S], mean [E,S]) pair from
+    :func:`split_table`; codes: [Q,S] lookup-column ids; begins/spans: [Q]
+    valid ranges (reference premasking semantics: sites outside the range
     contribute nothing, gaps inside contribute the gap column).
+
+    Precision split: per-site logl magnitudes are large, so a bf16 MXU
+    pass loses ~0.4% per term. The per-(edge,site) mean is accumulated
+    with a full-precision (but C-times smaller) matmul, only the small
+    residuals ride the fast default precision. The residual contraction
+    runs as C [Q,S]x[S,E] matmuls so no [Q,C,S] one-hot is ever
+    materialized (a chunk_size x 20k-site chunk would need gigabytes).
     """
-    E, C, S = table.shape
-    dtype = table.dtype
-    onehot = (codes[:, None, :] == jnp.arange(C)[None, :, None])  # [Q,C,S]
-    onehot = onehot.astype(dtype)
+    if isinstance(table, tuple):
+        resid, mean = table
+    else:
+        resid, mean = split_table(table)
+    E, C, S = resid.shape
+    dtype = mean.dtype
     site = jnp.arange(S)
     in_range = ((site[None, :] >= begins[:, None])
                 & (site[None, :] < (begins + spans)[:, None]))
     in_range = in_range.astype(dtype)
-    onehot = onehot * in_range[:, None, :]
-    # Precision split: per-site logl magnitudes are large, so a bf16 MXU
-    # pass loses ~0.4% per term. Accumulate the per-(edge,site) mean with a
-    # full-precision (but C-times smaller) matmul and only the small
-    # residuals at fast default precision.
-    mean = jnp.mean(table, axis=1)                                # [E,S]
-    resid = table - mean[:, None, :]
-    s_resid = jnp.einsum("qcs,ecs->qe", onehot, resid,
-                         preferred_element_type=dtype)
-    s_mean = jnp.einsum("qs,es->qe", in_range, mean,
+    scores = jnp.einsum("qs,es->qe", in_range, mean,
                         preferred_element_type=dtype, precision=_PP)
-    return s_resid + s_mean
+    rdt = resid.dtype
+
+    def per_char(c, acc):
+        # fori_loop (not an unrolled python loop): keeps the per-character
+        # [Q,S] selection buffers sequential — unrolled, XLA fuses them
+        # back into one [Q,C,S] temp, exactly the blowup being avoided
+        r = jax.lax.dynamic_slice_in_dim(resid, c, 1, axis=1)[:, 0, :]
+        sel = jnp.where(codes == c, in_range, 0.0).astype(rdt)
+        return acc + jnp.einsum("qs,es->qe", sel, r,
+                                preferred_element_type=dtype)
+
+    return jax.lax.fori_loop(0, C, per_char, scores)
+
+
+@jax.jit
+def preplace_scores(table, codes, begins, spans):
+    """Jitted :func:`preplace_scores_core` (the exact-path entry)."""
+    return preplace_scores_core(table, codes, begins, spans)

@@ -50,37 +50,42 @@ def make_mesh(n_dp: int, n_ep: int, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("dp", "ep"))
 
 
-def _preplace_scores(table, codes, begins, spans):
-    """[Q, E] preplacement scores: masked one-hot MXU contraction
-    (precision-split like ops.lookup.preplace_scores)."""
-    dtype = table.dtype
-    E, C, S = table.shape
-    onehot = (codes[:, None, :] == jnp.arange(C)[None, :, None])
-    onehot = onehot.astype(dtype)
-    site = jnp.arange(S)
-    in_range = ((site[None, :] >= begins[:, None])
-                & (site[None, :] < (begins + spans)[:, None]))
-    in_range_f = in_range.astype(dtype)
-    onehot = onehot * in_range_f[:, None, :]
-    mean = jnp.mean(table, axis=1)
-    return (jnp.einsum("qcs,ecs->qe", onehot, table - mean[:, None, :],
-                       preferred_element_type=dtype)
-            + jnp.einsum("qs,es->qe", in_range_f, mean,
-                         preferred_element_type=dtype, precision=_PP))
+# one shared implementation of the preplacement contraction (the fused
+# step and the exact path must rank candidates identically)
+from epa_ng_tpu.ops.lookup import preplace_scores_core as _preplace_scores
 
 
-def _select_topk(scores, threshold, topk: int):
-    """Dynamic-heuristic cut within a static top-k budget: returns
+def _select_topk(scores, threshold, topk: int, mode: str = "dynamic"):
+    """Heuristic candidate cut within a static top-k budget: returns
     (top_edges [Q,k] int32, valid [Q,k] bool prefix mask, top_scores).
-    valid[q] marks the candidate prefix kept by the accumulated-LWR rule
-    (reference dynamic_heuristic, src/core/heuristics.hpp:66-88; same
-    prefix-excludes-own-LWR convention as core.heuristics.candidate_mask)."""
+
+    - dynamic: valid marks the prefix kept by the accumulated-LWR rule
+      (reference dynamic_heuristic, src/core/heuristics.hpp:66-88; same
+      prefix-excludes-own-LWR convention as core.heuristics.candidate_mask).
+      May saturate the budget (the engine re-runs those queries wider).
+    - fixed: top ceil(threshold * E) edges; the engine sizes topk to
+      exactly that count, so valid is all-ones (heuristics.hpp:90-99).
+    - baseball: hits = edges within strike_box=3 logl of the best, keep
+      min(hits + max_strikes=6, max_pitches=40); exact within a 40-budget
+      because every hit outranks every non-hit (heuristics.hpp:101-117).
+    """
     top_scores, top_edges = jax.lax.top_k(scores, topk)      # [Q,k]
-    ex = jnp.exp(scores - top_scores[:, :1])
-    denom = jnp.sum(ex, axis=1, keepdims=True)
-    lwr_pre = jnp.exp(top_scores - top_scores[:, :1]) / denom
-    prefix = jnp.cumsum(lwr_pre, axis=1) - lwr_pre
-    valid = prefix < threshold                               # [Q,k]
+    if mode == "dynamic":
+        ex = jnp.exp(scores - top_scores[:, :1])
+        denom = jnp.sum(ex, axis=1, keepdims=True)
+        lwr_pre = jnp.exp(top_scores - top_scores[:, :1]) / denom
+        prefix = jnp.cumsum(lwr_pre, axis=1) - lwr_pre
+        valid = prefix < threshold                           # [Q,k]
+    elif mode == "fixed":
+        valid = jnp.ones(top_scores.shape, bool)
+    elif mode == "baseball":
+        strike_box, max_strikes, max_pitches = 3.0, 6, 40
+        hits = jnp.sum(top_scores >= top_scores[:, :1] - strike_box,
+                       axis=1, keepdims=True)
+        total = jnp.minimum(hits + max_strikes, max_pitches)
+        valid = jnp.arange(topk)[None, :] < total
+    else:
+        raise ValueError(f"unknown heuristic mode: {mode}")
     return top_edges.astype(jnp.int32), valid, top_scores
 
 
@@ -100,7 +105,7 @@ def preplace_select(table, codes, begins, spans, threshold, topk: int):
 
 @partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed",
                                    "use_pallas", "block_width", "phase1",
-                                   "filter_cfg"))
+                                   "filter_cfg", "heur_mode"))
 def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                    codes, begins, spans, tQ, invq, prescoring_threshold,
                    topk: int = 8, sliding: bool = True,
@@ -109,7 +114,8 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                    block_width: int | None = None,
                    phase1: int = 2,
                    filter_cfg: tuple | None = None,
-                   filter_threshold=0.0):
+                   filter_threshold=0.0,
+                   heur_mode: str = "dynamic"):
     """One fused placement step over a query chunk.
 
     table: [E,C,S] preplacement lookup; tU, tV: [E,RK,S] eigen-transformed
@@ -138,14 +144,15 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     that exceed the phase-B budget (never seen in practice) are flagged
     uncomputed and the engine re-places their queries exactly.
     """
-    dtype = table.dtype
-    E, C, S = table.shape
+    dtype = tU.dtype
+    E, C, S = table[0].shape if isinstance(table, tuple) else table.shape
     site = jnp.arange(S)
 
     scores = _preplace_scores(table, codes, begins, spans)
 
-    # --- dynamic-heuristic candidate selection within a static top-k
-    top_edges, valid, _ = _select_topk(scores, prescoring_threshold, topk)
+    # --- heuristic candidate selection within a static top-k
+    top_edges, valid, _ = _select_topk(scores, prescoring_threshold, topk,
+                                       heur_mode)
 
     # --- thorough placement on all (query, top-k edge) pairs
     Q = codes.shape[0]
@@ -273,7 +280,8 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
         return _step_epilogue(top_edges, logl, pendant, distal, valid,
                               dtype, packed, computed=computed,
                               filter_cfg=filter_cfg,
-                              filter_threshold=filter_threshold)
+                              filter_threshold=filter_threshold,
+                              dynamic_budget=(heur_mode == "dynamic"))
 
     W = S if site_width is None else min(site_width, S)
     win_begin = jnp.minimum(begins, S - W)
@@ -311,12 +319,13 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     distal = distal_rep.reshape(Q, topk)
     return _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
                           packed, filter_cfg=filter_cfg,
-                          filter_threshold=filter_threshold)
+                          filter_threshold=filter_threshold,
+                          dynamic_budget=(heur_mode == "dynamic"))
 
 
 def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
                    packed: bool, computed=None, filter_cfg=None,
-                   filter_threshold=0.0):
+                   filter_threshold=0.0, dynamic_budget: bool = True):
     # --- LWR over the valid (and actually computed) candidates; a valid
     # pair the blocked kernel could not fit into its site window must not
     # poison the softmax — its query is re-run exactly by the engine
@@ -351,7 +360,12 @@ def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
                           jnp.minimum(fmax, n_ok))
         rank = jnp.cumsum(ok_s.astype(jnp.int32), axis=1) - 1
         keep = ok_s & (rank < n_keep[:, None])
-        saturated = jnp.all(valid, axis=1)
+        # an all-valid row only means "budget too small" under the
+        # dynamic rule; fixed/baseball size the budget exactly
+        if dynamic_budget:
+            saturated = jnp.all(valid, axis=1)
+        else:
+            saturated = jnp.zeros(valid.shape[:1], bool)
         misfit = jnp.any(valid & ~(computed > 0), axis=1)
         flags = (saturated.astype(dtype)
                  + 2.0 * misfit.astype(dtype))[:, None]
@@ -395,7 +409,12 @@ class ShardedPlacement:
         # padded pseudo-edges get a -huge score so top-k never picks them.
         # The value must survive sums over sites/chars without overflowing
         # to -inf (which would poison the precision-split mean with NaN).
-        table = pad_e(table, fill=jnp.asarray(-1e30, table.dtype))
+        if isinstance(table, tuple):
+            resid, mean = table
+            table = (pad_e(resid, fill=jnp.zeros((), resid.dtype)),
+                     pad_e(mean, fill=jnp.asarray(-1e30, mean.dtype)))
+        else:
+            table = pad_e(table, fill=jnp.asarray(-1e30, table.dtype))
         self.table = jax.device_put(table, edge_sh)
         self.tU = jax.device_put(pad_e(blo.tU), edge_sh)
         self.tV = jax.device_put(pad_e(blo.tV), edge_sh)
@@ -411,7 +430,7 @@ class ShardedPlacement:
             self.lengths, put(codes), put(begins), put(spans), put(tQ),
             put(invq),
             jnp.asarray(self.engine.options.prescoring_threshold,
-                        self.table.dtype),
+                        self.tU.dtype),
             topk=self.topk, sliding=self.engine.options.sliding_blo,
             site_width=chunk_site_width(spans, self.tU.shape[2]))
 

@@ -63,3 +63,8 @@ class Options:
     # saturated query re-runs the exact host-orchestrated path
     fused_topk: int = 16
     pallas: str = "auto"  # "auto" | "on" | "off": Pallas Newton kernel use
+    # "auto": full [E,C,S] table in the compute dtype; "bf16": (resid bf16,
+    # mean f32) split — halves the dominant big-tree HBM buffer at <0.1
+    # logl-unit preplacement-score error (candidate RANKING, not reported
+    # logls; the thorough stage recomputes exact logls)
+    lookup_dtype: str = "auto"

@@ -25,8 +25,12 @@ D = "/root/reference/test/data"
 
 
 def _roundtrip(tmp_path, tree, ref, qry, model, opts=None):
+    import dataclasses
     opts = opts or Options(blo_block=64)
-    eng = PlacementEngine(tree, ref, model, opts)
+    # the dumping engine keeps the raw edge tensors (dump mode); the
+    # loaded engine exercises the freed-EdgeTensors placement path
+    eng = PlacementEngine(tree, ref, model,
+                          dataclasses.replace(opts, dump_binary_mode=True))
     want = eng.place_chunk(qry)
 
     path = str(tmp_path / "store.npz")

@@ -65,3 +65,48 @@ def test_other_heuristics(data, mode):
     pqs = eng.place_chunk(qry)
     assert pqs[0].edge_nums[0] == 4
     assert pqs[1].edge_nums[0] == 3
+
+
+@pytest.mark.parametrize("mode", ["dynamic", "fixed", "baseball"])
+def test_fused_equals_exact_all_heuristics(mode):
+    """The fused device step (now covering ALL three heuristics, not just
+    dynamic) must reproduce the exact host-orchestrated path's placements
+    (reference treats the heuristics uniformly, heuristics.hpp:119-127)."""
+    from epa_ng_tpu.utils.synth import synth_dataset
+    tree, ref, qry = synth_dataset(n_taxa=48, sites=192, n_queries=32,
+                                   seed=9)
+    opts = Options(blo_block=64,
+                   baseball=(mode == "baseball"),
+                   prescoring_by_percentage=(mode == "fixed"),
+                   prescoring_threshold=(0.15 if mode == "fixed"
+                                         else 0.99999))
+    eng = PlacementEngine(tree, ref, Model.from_string("GTR+G"), opts)
+
+    handle = eng.place_chunk_async(qry)
+    assert handle[0] == "fused", f"{mode} did not take the fused path"
+    fused = eng.place_chunk(qry)
+    exact = eng._place_chunk_exact(eng.encode_msa(qry), 0)
+    for a, b in zip(fused, exact):
+        assert a.edge_nums[0] == b.edge_nums[0]
+        # candidates at the heuristic cutoff can differ on exact score
+        # ties (sub-1e-12 cross-compilation float drift); every placement
+        # carrying real weight must agree, aligned by edge id
+        da = {int(e): (l, w) for e, l, w in zip(a.edge_nums, a.logls,
+                                                a.lwrs)}
+        db = {int(e): (l, w) for e, l, w in zip(b.edge_nums, b.logls,
+                                                b.lwrs)}
+        # the kept VALUE multisets must match exactly...
+        np.testing.assert_allclose(np.sort(a.logls), np.sort(b.logls),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.sort(a.lwrs), np.sort(b.lwrs),
+                                   atol=1e-6)
+        # ...and an edge kept by only one path must be an exact score tie
+        # with some edge the other path kept instead (filter_max truncates
+        # tie groups differently across compilations)
+        for e in set(da) ^ set(db):
+            l, w = da.get(e) or db.get(e)
+            other = db if e in da else da
+            assert any(abs(l2 - l) < 1e-6 for l2, _ in other.values()), e
+        for e in set(da) & set(db):
+            assert da[e][0] == pytest.approx(db[e][0], abs=1e-6)
+            assert da[e][1] == pytest.approx(db[e][1], abs=1e-6)
