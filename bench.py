@@ -161,6 +161,81 @@ def run_e2e():
             "cold_placing_s": stats[0]["placing_s"]}
 
 
+def _measure_engine(tree, ref, qry, opts, chunk: int):
+    """Chunk-pipelined engine throughput (dispatch all, then finalize all)
+    with a first-chunk warmup; returns queries/s."""
+    import jax
+
+    from epa_ng_tpu.core import chunk as chunk_mod
+    from epa_ng_tpu.core.engine import PlacementEngine
+    from epa_ng_tpu.io.fasta import MSA
+    from epa_ng_tpu.models import Model
+
+    engine = PlacementEngine(tree, ref, Model.from_string(opts.pop("model")),
+                             opts.pop("options"))
+    ecs = []
+    n = 0
+    for start in range(0, len(qry), chunk):
+        msa = MSA(sequences=qry.sequences[start:start + chunk],
+                  num_sites=qry.num_sites)
+        ecs.append(engine.encode_msa(msa))
+        n += len(msa)
+    # warmup / compile
+    engine.finalize_chunk(engine.place_encoded_async(ecs[0]))
+    t0 = time.perf_counter()
+    handles = [engine.place_encoded_async(ec) for ec in ecs]
+    for h in handles:
+        engine.finalize_chunk(h)
+    dt = time.perf_counter() - t0
+    return n / dt, dt, engine
+
+
+def run_extra_configs():
+    """Perf evidence beyond the headline point: AA (20-state), --no-heur
+    (the exhaustive Q x E Newton sweep), and a 2048-taxon tree. Reports
+    q/s plus a rough kernel roofline for the no-heur sweep."""
+    from epa_ng_tpu.utils.options import Options
+    from epa_ng_tpu.utils.synth import AA, synth_dataset
+
+    out = {}
+
+    # AA: 20 states, 4 rate cats -> RK=80 sublane rows per pair
+    tree, ref, qry = synth_dataset(n_taxa=256, sites=256, n_queries=2048,
+                                   seed=13, alphabet=AA)
+    qps, dt, _ = _measure_engine(
+        tree, ref, qry, {"model": "LG+G4{0.8}",
+                         "options": Options(compute_dtype="f32")}, 512)
+    out["aa"] = {"qps": round(qps, 2), "taxa": 256, "sites": 256,
+                 "queries": 2048, "wall_s": round(dt, 3)}
+
+    # --no-heur: thorough Newton on EVERY (query, edge) pair
+    tree, ref, qry = synth_dataset(n_taxa=256, sites=256, n_queries=1024,
+                                   seed=17)
+    qps, dt, eng = _measure_engine(
+        tree, ref, qry, {"model": MODEL,
+                         "options": Options(compute_dtype="f32",
+                                            prescoring=False)}, 512)
+    pairs = 1024 * eng.num_edges
+    W = 256  # bucketed window ~= read width
+    bytes_per_pair = 2 * 16 * W * 4  # tU+tV rows touched per smoothing
+    out["noheur"] = {
+        "qps": round(qps, 2), "taxa": 256, "queries": 1024,
+        "wall_s": round(dt, 3),
+        "pair_optimizations_per_s": round(pairs / dt),
+        "approx_hbm_gb_per_s": round(pairs / dt * bytes_per_pair * 2 / 1e9,
+                                     1)}
+
+    # big tree: 2048 taxa = 4093 edges
+    tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
+                                   seed=19)
+    qps, dt, _ = _measure_engine(
+        tree, ref, qry, {"model": MODEL,
+                         "options": Options(compute_dtype="f32")}, 512)
+    out["bigtree"] = {"qps": round(qps, 2), "taxa": 2048, "edges": 4093,
+                      "queries": 2048, "wall_s": round(dt, 3)}
+    return out
+
+
 def run_pallas_parity():
     """On-hardware equality gate: the SAME queries placed with the Pallas
     Newton kernels (pallas=on: blocked-window + per-pair variants) and the
@@ -230,6 +305,8 @@ def main():
         if mode == "--e2e":
             result["value"] = result["e2e_qps"]
             result["vs_baseline"] = round(e2e["qps"] / REFERENCE_NODE_QPS, 3)
+    if mode in ("all", "--extra"):
+        result["configs"] = run_extra_configs()
     if mode in ("all", "--parity"):
         parity = run_pallas_parity()
         if parity is None:

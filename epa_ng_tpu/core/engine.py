@@ -853,16 +853,14 @@ def empirical_frequencies(tip_masks: np.ndarray, num_states: int) -> np.ndarray:
     """Empirical base frequencies from the reference alignment, counting
     ambiguous characters fractionally across their states (the
     pllmod_msa_empirical_frequencies convention)."""
-    counts = np.zeros(num_states)
-    for s in range(num_states):
-        bit = (tip_masks >> s) & 1
-        popc = np.zeros_like(tip_masks)
-        tmp = tip_masks.copy()
-        while tmp.any():
-            popc += tmp & 1
-            tmp >>= 1
-        full = (1 << num_states) - 1
-        nongap = tip_masks != full
-        # fractional: each char contributes 1/|states| to each member state
-        counts[s] = (bit[nongap] / popc[nongap]).sum()
+    full = (1 << num_states) - 1
+    nongap = tip_masks[tip_masks != full]
+    popc = np.zeros_like(nongap)
+    tmp = nongap.copy()
+    while tmp.any():
+        popc += tmp & 1
+        tmp >>= 1
+    inv = 1.0 / popc  # each char contributes 1/|states| per member state
+    counts = np.array([
+        (((nongap >> s) & 1) * inv).sum() for s in range(num_states)])
     return counts / counts.sum()

@@ -99,7 +99,6 @@ def _apply_order(pq: PQuery, order: np.ndarray):
 
 
 def _truncate(pq: PQuery, n: int):
-    _apply_order(pq, np.arange(len(pq.edge_nums)))
     pq.edge_nums = pq.edge_nums[:n]
     pq.logls = pq.logls[:n]
     pq.pendant_lengths = pq.pendant_lengths[:n]

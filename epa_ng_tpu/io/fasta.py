@@ -76,11 +76,46 @@ def open_seqfile(path: str, mode: str = "rb"):
     return open(path, mode)
 
 
-def iter_fasta(path: str) -> Iterator[tuple[str, str]]:
+def fasta_record_offset(path: str, skip: int) -> int:
+    """Byte offset of the ``skip``-th FASTA record, found by a raw scan for
+    line-initial '>' — no per-record parsing, so a rank's shard seek is
+    O(bytes scanned) with C-speed memchr instead of O(records parsed)
+    (reference seeks too: src/seq/MSA_Stream.cpp:49-57)."""
+    if skip <= 0:
+        return 0
+    seen = 0
+    offset = 0
+    at_line_start = True
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(1 << 20)
+            if not block:
+                return offset + len(block)
+            pos = 0
+            if at_line_start and block[:1] == b">":
+                seen += 1
+                if seen > skip:
+                    return offset
+                pos = 1
+            while True:
+                i = block.find(b"\n>", pos)
+                if i < 0:
+                    break
+                seen += 1
+                if seen > skip:
+                    return offset + i + 1
+                pos = i + 2
+            at_line_start = block.endswith(b"\n")
+            offset += len(block)
+
+
+def iter_fasta(path: str, start_offset: int = 0) -> Iterator[tuple[str, str]]:
     """Yield (label, uppercased sequence) from a FASTA file."""
     label = None
     chunks: list[str] = []
     with open_seqfile(path, "rb") as f:
+        if start_offset:
+            f.seek(start_offset)
         for raw in f:
             line = raw.strip()
             if not line:
@@ -251,8 +286,15 @@ class MSAStream:
             rem = total % process_count
             offset = process_index * base + min(process_index, rem)
             count = base + (1 if process_index < rem else 0)
-            for _ in range(offset):
-                next(self._iter, None)
+            with open(path, "rb") as f:
+                plain_fasta = f.read(1) == b">" and not is_gzipped(path)
+            if plain_fasta:
+                # O(shard-start bytes) raw scan, no record parsing
+                byte_off = fasta_record_offset(path, offset)
+                self._iter = iter_fasta(path, start_offset=byte_off)
+            else:
+                for _ in range(offset):
+                    next(self._iter, None)
             self._local_offset = offset
             self._remaining = count
 

@@ -27,7 +27,6 @@ class Options:
 
     # model / branch optimization
     opt_model: bool = False
-    opt_branches: bool = False
     sliding_blo: bool = True
 
     # output filtering (reference: src/util/Options.hpp:17-20)
@@ -39,7 +38,6 @@ class Options:
     # io / streaming
     chunk_size: int = 5000
     premasking: bool = True
-    ranged: bool = False
     dump_binary_mode: bool = False
     load_binary_mode: bool = False
     tmp_dir: str = ""

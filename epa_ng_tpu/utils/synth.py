@@ -11,6 +11,7 @@ from epa_ng_tpu.io.fasta import MSA
 from epa_ng_tpu.tree import Tree
 
 DNA = "ACGT"
+AA = "ARNDCQEGHILKMFPSTWYV"
 
 
 def random_tree(n_taxa: int, seed: int = 0) -> Tree:
@@ -56,36 +57,39 @@ def random_tree(n_taxa: int, seed: int = 0) -> Tree:
     return Tree.from_string(to_newick(root) + ";")
 
 
-def random_msa(labels, sites: int, seed: int = 1) -> MSA:
+def random_msa(labels, sites: int, seed: int = 1, alphabet: str = DNA) -> MSA:
     rng = np.random.default_rng(seed)
-    base = rng.integers(0, 4, size=sites)
+    K = len(alphabet)
+    base = rng.integers(0, K, size=sites)
     msa = MSA()
     for i, label in enumerate(labels):
         mut = rng.random(sites) < 0.25
-        seq = np.where(mut, rng.integers(0, 4, size=sites), base)
-        msa.append(label, "".join(DNA[c] for c in seq))
+        seq = np.where(mut, rng.integers(0, K, size=sites), base)
+        msa.append(label, "".join(alphabet[c] for c in seq))
     return msa
 
 
 def random_queries(n: int, sites: int, seed: int = 2,
-                   read_frac: float = 0.5) -> MSA:
+                   read_frac: float = 0.5, alphabet: str = DNA) -> MSA:
     """Short-read-style queries: a random core region, gaps outside."""
     rng = np.random.default_rng(seed)
+    K = len(alphabet)
     msa = MSA()
     for i in range(n):
         read_len = max(8, int(sites * read_frac))
         start = int(rng.integers(0, max(1, sites - read_len)))
         seq = ["-"] * sites
         for j in range(start, min(start + read_len, sites)):
-            seq[j] = DNA[rng.integers(0, 4)]
+            seq[j] = alphabet[rng.integers(0, K)]
         msa.append(f"Q{i}", "".join(seq))
     return msa
 
 
-def synth_dataset(n_taxa=64, sites=400, n_queries=256, seed=0):
+def synth_dataset(n_taxa=64, sites=400, n_queries=256, seed=0,
+                  alphabet: str = DNA):
     tree = random_tree(n_taxa, seed)
-    ref = random_msa(tree.labels, sites, seed + 1)
-    qry = random_queries(n_queries, sites, seed + 2)
+    ref = random_msa(tree.labels, sites, seed + 1, alphabet)
+    qry = random_queries(n_queries, sites, seed + 2, alphabet=alphabet)
     return tree, ref, qry
 
 

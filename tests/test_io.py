@@ -134,3 +134,36 @@ def test_gzipped_fasta(tmp_path):
                                 want, False)
     b = fio.build_msa_from_file(str(gz), got, False)
     assert [s.sequence for s in a] == [s.sequence for s in b]
+
+
+def test_fasta_record_offset_scan():
+    from epa_ng_tpu.io.fasta import fasta_record_offset, iter_fasta
+    path = f"{D}/query.fasta"
+    recs = list(iter_fasta(path))
+    for skip in range(len(recs) + 2):
+        off = fasta_record_offset(path, skip)
+        rest = list(iter_fasta(path, start_offset=off))
+        assert rest == recs[skip:], skip
+
+
+def test_msastream_shard_skip_matches_sequential(tmp_path):
+    from epa_ng_tpu.io.fasta import MSAStream, make_msa_info
+    p = tmp_path / "many.fasta"
+    with open(p, "w") as f:
+        for i in range(23):
+            f.write(f">s{i}\nACGT{'AC' * (i % 3)}ACGT\n"
+                    .replace("ACGTACGT", "ACGTACGT"))
+    # equal widths required: rewrite with fixed width
+    with open(p, "w") as f:
+        for i in range(23):
+            f.write(f">s{i}\nACGTACGT\n")
+    info = make_msa_info(str(p))
+    whole = MSAStream(str(p), info, premask=False).read_next(100)
+    for count in (2, 3, 5):
+        got = []
+        for rank in range(count):
+            s = MSAStream(str(p), info, premask=False, split=True,
+                          process_index=rank, process_count=count)
+            chunk = s.read_next(100)
+            got.extend((q.header, q.sequence) for q in chunk)
+        assert got == [(q.header, q.sequence) for q in whole]
