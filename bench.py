@@ -237,42 +237,68 @@ def run_extra_configs():
 
 
 def run_pallas_parity():
-    """On-hardware equality gate: the SAME queries placed with the Pallas
-    Newton kernels (pallas=on: blocked-window + per-pair variants) and the
-    XLA kernel (pallas=off) must agree. Interpret-mode CPU equality is
-    covered by tests/test_pallas.py; this catches Mosaic lowering
-    differences on the real chip. Returns None off-TPU."""
+    """On-hardware equality gate: the SAME pair batch run through
+    blo_optimize_batch_pallas (per-pair windows), the blocked-window
+    variant, and newton.blo_optimize_batch (XLA) must agree to <=1e-4
+    logl. Interpret-mode CPU equality is covered by tests/test_pallas.py;
+    this catches Mosaic lowering differences on the real chip. Returns
+    None off-TPU."""
     import numpy as np
 
     import jax
+    import jax.numpy as jnp
 
     if jax.default_backend() != "tpu":
         return None
 
-    from epa_ng_tpu.core.engine import PlacementEngine
+    from epa_ng_tpu.core.engine import (PlacementEngine, _blo_blocked,
+                                        _blo_windowed)
     from epa_ng_tpu.io.fasta import MSA
     from epa_ng_tpu.models import Model
+    from epa_ng_tpu.ops import newton
+    from epa_ng_tpu.ops.pallas_blo import plan_blocks_pairs
     from epa_ng_tpu.utils.options import Options
     from epa_ng_tpu.utils.synth import synth_dataset
 
     tree, ref, qry = synth_dataset(n_taxa=128, sites=256, n_queries=256,
                                    seed=11)
-    model = Model.from_string(MODEL)
-    engine = PlacementEngine(tree, ref, model,
-                             Options(compute_dtype="f32", pallas="off"))
+    engine = PlacementEngine(tree, ref, Model.from_string(MODEL),
+                             Options(compute_dtype="f32"))
     msa = MSA(sequences=qry.sequences, num_sites=qry.num_sites)
-    off = engine.place_chunk(msa)
-    engine.options.pallas = "on"
-    on = engine.place_chunk(msa)
-    max_d = 0.0
-    for a, b in zip(off, on):
-        assert list(a.edge_nums) == list(b.edge_nums), \
-            "pallas/XLA candidate sets diverge"
-        max_d = max(max_d, float(np.max(np.abs(a.logls - b.logls))))
-        max_d = max(max_d,
-                    float(np.max(np.abs(a.pendant_lengths
-                                        - b.pendant_lengths))))
-    return {"parity": bool(max_d <= 1e-4), "max_abs_diff": max_d}
+    ec = engine.encode_msa(msa)
+    # begin-sorted pairs (what the blocked kernel's windows assume)
+    perm = np.argsort(ec.ranges[:, 0], kind="stable")
+    codes, ranges = ec.codes[perm], ec.ranges[perm]
+    tQ, invq = engine._query_tensors_codes(codes)
+    Q = len(codes)
+    S = engine.num_sites
+    rng = np.random.default_rng(5)
+    P = 512
+    q_ids = np.repeat(np.arange(Q, dtype=np.int32), P // Q)
+    e_ids = rng.integers(0, engine.num_edges, size=P).astype(np.int32)
+    begins = ranges[q_ids, 0].astype(np.int32)
+    spans = ranges[q_ids, 1].astype(np.int32)
+    blo = engine.blo
+
+    args = (engine.consts, blo.tU, blo.tV, blo.ls, blo.lengths, tQ, invq,
+            jnp.asarray(e_ids), jnp.asarray(q_ids),
+            jnp.zeros(P, jnp.int32), jnp.asarray(begins),
+            jnp.asarray(spans))
+    xla = _blo_windowed(*args, width=S, sliding=True,
+                        max_smoothings=newton.SMOOTHINGS, use_pallas=False)
+    pal = _blo_windowed(*args, width=S, sliding=True,
+                        max_smoothings=newton.SMOOTHINGS, use_pallas=True)
+    offs, Wb = plan_blocks_pairs(begins, begins + spans, S)
+    blk = _blo_blocked(engine.consts, blo.tU, blo.tV, blo.ls, blo.lengths,
+                       tQ, jnp.asarray(e_ids), jnp.asarray(q_ids),
+                       jnp.asarray(begins), jnp.asarray(spans),
+                       jnp.asarray(offs), Wb, newton.SMOOTHINGS)
+    lx = np.asarray(xla[0])
+    d_pal = float(np.max(np.abs(np.asarray(pal[0]) - lx)))
+    d_blk = float(np.max(np.abs(np.asarray(blk[0]) - lx)))
+    max_d = max(d_pal, d_blk)
+    return {"parity": bool(max_d <= 1e-4), "max_abs_diff": max_d,
+            "per_pair_vs_xla": d_pal, "blocked_vs_xla": d_blk}
 
 
 def main():

@@ -135,6 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
     comp.add_argument("--blo-block", type=int, default=None,
                       help="Batch size for the thorough-placement Newton "
                            "kernel (TPU extension).")
+    comp.add_argument("--memsave", action="store_true",
+                      help="Out-of-core mode for trees whose tensors "
+                           "exceed device HBM: reference state stays in "
+                           "host RAM and streams to the device per chunk "
+                           "(the analog of the reference's -b CLV "
+                           "paging).")
     comp.add_argument("--lookup-dtype", choices=["auto", "bf16"],
                       default=None,
                       help="Preplacement lookup-table storage: bf16 halves "
@@ -232,6 +238,7 @@ def options_from_args(args) -> Options:
         o.blo_block = args.blo_block
     if args.lookup_dtype is not None:
         o.lookup_dtype = args.lookup_dtype
+    o.memsave = args.memsave
     return o
 
 
@@ -317,11 +324,19 @@ def main(argv=None) -> int:
     from epa_ng_tpu.io import fasta as fio
     from epa_ng_tpu.models import Model
 
+    if options.memsave:
+        from epa_ng_tpu.core.memsave import OutOfCoreEngine
+        engine_cls = OutOfCoreEngine
+        log.info("Selected: out-of-core (--memsave) placement")
+    else:
+        engine_cls = PlacementEngine
+
     # --- build or load the reference state
     if options.load_binary_mode:
         from epa_ng_tpu.io.binary import load_binary
         log.info("Loading from binary: %s", args.binary)
-        engine = load_binary(args.binary, options)
+        engine = load_binary(args.binary, options,
+                             engine_cls=engine_cls)
         tree = engine.tree
         qry_info = fio.make_msa_info(args.query) if args.query else None
         if options.premasking:
@@ -374,7 +389,7 @@ def main(argv=None) -> int:
                            dtype=(jnp.float64
                                   if options.compute_dtype == "f64"
                                   else jnp.float32))
-        engine = PlacementEngine(tree, ref_msa, model, options)
+        engine = engine_cls(tree, ref_msa, model, options)
 
         if options.dump_binary_mode:
             from epa_ng_tpu.io.binary import dump_binary

@@ -100,11 +100,13 @@ def dump_binary(engine, path: str, tree_newick_text: str):
         **_model_to_arrays(engine.model))
 
 
-def load_binary(path: str, options=None):
+def load_binary(path: str, options=None, engine_cls=None):
     """Rebuild a PlacementEngine from a dumped CLV store."""
     import jax.numpy as jnp
 
     from epa_ng_tpu.core.engine import PlacementEngine
+    if engine_cls is None:
+        engine_cls = PlacementEngine
     from epa_ng_tpu.ops.clv import EdgeTensors
     from epa_ng_tpu.tree import Tree
     from epa_ng_tpu.utils.options import Options
@@ -126,7 +128,7 @@ def load_binary(path: str, options=None):
         lsU=jnp.asarray(data["lsU"], dtype), lsV=jnp.asarray(data["lsV"], dtype),
         lengths=jnp.asarray(data["lengths"], dtype))
     inter = data["ref_intersection"]
-    return PlacementEngine.from_precomputed(
+    return engine_cls.from_precomputed(
         tree=tree, model=model, options=options, edges=edges,
         num_sites=int(data["num_sites"]),
         ref_intersection=(inter if inter.size else None))

@@ -66,3 +66,6 @@ class Options:
     # logl-unit preplacement-score error (candidate RANKING, not reported
     # logls; the thorough stage recomputes exact logls)
     lookup_dtype: str = "auto"
+    # out-of-core mode: reference state in host RAM, streamed per chunk
+    # (core.memsave; the analog of the reference's -b paging)
+    memsave: bool = False

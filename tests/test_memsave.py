@@ -1,0 +1,108 @@
+"""Out-of-core (--memsave) engine: host-RAM reference state, streamed
+placement. Cross-path equality against the device-resident engine (the
+reference's own test style for its -b paged mode,
+/root/reference/test/src/Tiny_Tree.cpp place_from_binary)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from epa_ng_tpu.core.engine import PlacementEngine
+from epa_ng_tpu.core.memsave import OutOfCoreEngine
+from epa_ng_tpu.models import Model
+from epa_ng_tpu.utils.options import Options
+from epa_ng_tpu.utils.synth import synth_dataset
+
+MODEL = "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}"
+
+
+@pytest.fixture(scope="module")
+def data():
+    return synth_dataset(n_taxa=40, sites=200, n_queries=24, seed=21)
+
+
+def _compare(a_pqs, b_pqs):
+    assert len(a_pqs) == len(b_pqs)
+    for a, b in zip(a_pqs, b_pqs):
+        np.testing.assert_array_equal(a.edge_nums, b.edge_nums)
+        np.testing.assert_allclose(a.logls, b.logls, atol=1e-6)
+        np.testing.assert_allclose(a.lwrs, b.lwrs, atol=1e-6)
+        np.testing.assert_allclose(a.pendant_lengths, b.pendant_lengths,
+                                   atol=1e-9)
+        np.testing.assert_allclose(a.distal_lengths, b.distal_lengths,
+                                   atol=1e-9)
+
+
+def test_memsave_equals_resident(data):
+    tree, ref, qry = data
+    dev = PlacementEngine(tree, ref, Model.from_string(MODEL),
+                          Options(blo_block=64))
+    ooc = OutOfCoreEngine(tree, ref, Model.from_string(MODEL),
+                          Options(blo_block=64, memsave=True))
+    # exact-vs-exact (the OOC engine always takes the exact path)
+    ec = dev.encode_msa(qry)
+    _compare(dev._place_chunk_exact(ec, 0),
+             ooc._place_chunk_exact(ooc.encode_msa(qry), 0))
+
+
+def test_memsave_no_heur_and_no_premask(data):
+    tree, ref, qry = data
+    for kw in ({"prescoring": False}, {"premasking": False}):
+        dev = PlacementEngine(tree, ref, Model.from_string(MODEL),
+                              Options(blo_block=64, **kw))
+        ooc = OutOfCoreEngine(tree, ref, Model.from_string(MODEL),
+                              Options(blo_block=64, memsave=True, **kw))
+        _compare(dev._place_chunk_exact(dev.encode_msa(qry), 0),
+                 ooc.place_chunk(qry))
+
+
+def test_memsave_device_footprint(data):
+    """Nothing O(E*S) may stay device-resident."""
+    tree, ref, qry = data
+    ooc = OutOfCoreEngine(tree, ref, Model.from_string(MODEL),
+                          Options(memsave=True))
+    assert ooc._lookup_table is None and ooc._blo is None
+    assert ooc.edges is None
+    assert isinstance(ooc._tU_np, np.ndarray)
+    assert ooc.host_resident_bytes() > 0
+    pqs = ooc.place_chunk(qry)
+    assert len(pqs) == len(qry)
+
+
+def test_memsave_streamed_preplace_matches(data):
+    tree, ref, qry = data
+    dev = PlacementEngine(tree, ref, Model.from_string(MODEL), Options())
+    ooc = OutOfCoreEngine(tree, ref, Model.from_string(MODEL),
+                          Options(memsave=True))
+    ec = dev.encode_msa(qry)
+    np.testing.assert_allclose(ooc.preplace(ec.codes, ec.ranges),
+                               dev.preplace(ec.codes, ec.ranges),
+                               rtol=0, atol=1e-7)
+
+
+def test_memsave_cli(tmp_path):
+    from epa_ng_tpu.cli import main
+    D = "/root/reference/test/data"
+    out = str(tmp_path) + "/"
+    rc = main(["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+               "-q", f"{D}/query.fasta", "-m", "GTR+G", "--memsave",
+               "-w", out, "--redo", "--blo-block", "64"])
+    assert rc == 0
+    doc = json.load(open(out + "epa_result.jplace"))
+    tops = sorted((p["n"][0], p["p"][0][0]) for p in doc["placements"])
+    assert tops == [("Carp", 3), ("Rat", 4)]
+
+
+def test_memsave_binary_roundtrip(tmp_path, data):
+    from epa_ng_tpu.io.binary import dump_binary, load_binary
+    import dataclasses
+    tree, ref, qry = data
+    opts = Options(blo_block=64)
+    dev = PlacementEngine(tree, ref, Model.from_string(MODEL),
+                          dataclasses.replace(opts, dump_binary_mode=True))
+    path = str(tmp_path / "store.npz")
+    dump_binary(dev, path, tree.plain_newick())
+    ooc = load_binary(path, dataclasses.replace(opts, memsave=True),
+                      engine_cls=OutOfCoreEngine)
+    _compare(dev.place_chunk(qry), ooc.place_chunk(qry))
