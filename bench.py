@@ -304,11 +304,22 @@ def run_pallas_parity():
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/epa_ng_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from epa_ng_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     backend = jax.default_backend()
+
+    # With a COLD compile cache a tunneled-TPU backend pays minutes of
+    # terminal-side compiles per distinct program; rather than let an
+    # external timeout kill the whole run with no output, later sections
+    # are skipped once the budget is spent (the headline fused-step section
+    # always runs). A warmed cache finishes everything far under budget.
+    budget_s = float(os.environ.get("EPA_NG_TPU_BENCH_BUDGET", "420"))
+    t_start = time.perf_counter()
+
+    def over_budget():
+        return time.perf_counter() - t_start > budget_s
 
     result = {
         "metric": "queries_placed_per_sec_per_chip",
@@ -317,6 +328,7 @@ def main():
         "config": {"taxa": N_TAXA, "sites": SITES, "queries": N_QUERIES,
                    "chunk": CHUNK, "topk": TOPK, "dtype": "f32"},
     }
+    skipped = []
 
     if mode in ("all", "--quick"):
         fused = run_fused_step()
@@ -325,24 +337,37 @@ def main():
         result["config"]["edges"] = fused["edges"]
         result["config"]["wall_s"] = round(fused["wall_s"], 3)
     if mode in ("all", "--e2e"):
-        e2e = run_e2e()
-        result["e2e_qps"] = round(e2e["qps"], 2)
-        result["e2e"] = {k: round(v, 3) for k, v in e2e.items()}
-        if mode == "--e2e":
-            result["value"] = result["e2e_qps"]
-            result["vs_baseline"] = round(e2e["qps"] / REFERENCE_NODE_QPS, 3)
-    if mode in ("all", "--extra"):
-        result["configs"] = run_extra_configs()
-    if mode in ("all", "--parity"):
-        parity = run_pallas_parity()
-        if parity is None:
-            result["pallas_parity"] = "skipped (not on TPU)"
+        if mode == "all" and over_budget():
+            skipped.append("e2e")
         else:
-            result["pallas_parity"] = parity["parity"]
-            result["pallas_max_dlogl"] = round(parity["max_abs_diff"], 8)
-            assert parity["parity"], (
-                f"Pallas/XLA divergence on hardware: {parity}")
+            e2e = run_e2e()
+            result["e2e_qps"] = round(e2e["qps"], 2)
+            result["e2e"] = {k: round(v, 3) for k, v in e2e.items()}
+            if mode == "--e2e":
+                result["value"] = result["e2e_qps"]
+                result["vs_baseline"] = round(
+                    e2e["qps"] / REFERENCE_NODE_QPS, 3)
+    if mode in ("all", "--extra"):
+        if mode == "all" and over_budget():
+            skipped.append("extra")
+        else:
+            result["configs"] = run_extra_configs()
+    if mode in ("all", "--parity"):
+        if mode == "all" and over_budget():
+            skipped.append("parity")
+        else:
+            parity = run_pallas_parity()
+            if parity is None:
+                result["pallas_parity"] = "skipped (not on TPU)"
+            else:
+                result["pallas_parity"] = parity["parity"]
+                result["pallas_max_dlogl"] = round(parity["max_abs_diff"], 8)
+                assert parity["parity"], (
+                    f"Pallas/XLA divergence on hardware: {parity}")
 
+    if skipped:
+        result["skipped_over_budget"] = skipped
+    result["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps(result))
 
 

@@ -302,16 +302,11 @@ def main(argv=None) -> int:
     log.info(BANNER + f"(v{__version__})\n")
 
     # persistent XLA compilation cache: repeat runs (and the many
-    # same-shaped steps within a run) skip the ~30s TPU compiles
-    import tempfile
-
+    # same-shaped steps within a run) skip the minutes-long TPU compiles
     import jax
-    if not os.environ.get("EPA_NG_TPU_NO_COMPILE_CACHE"):
-        cache_dir = os.environ.get(
-            "EPA_NG_TPU_COMPILE_CACHE",
-            os.path.join(tempfile.gettempdir(), "epa_ng_tpu_jax_cache"))
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from epa_ng_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     if args.compute_dtype is None:
         options.compute_dtype = _default_dtype()
