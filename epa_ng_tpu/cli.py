@@ -290,6 +290,24 @@ def main(argv=None) -> int:
         split(ref, queries, outdir)
         return 0
 
+    # persistent XLA compilation cache: repeat runs (and the many
+    # same-shaped steps within a run) skip the minutes-long TPU compiles.
+    # Both of these must run BEFORE anything initializes the backend
+    # (process_info below does).
+    import jax
+
+    from epa_ng_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
+    # some out-of-tree TPU plugins ignore JAX_PLATFORMS=cpu; honor the
+    # user's explicit platform choice via the config knob
+    plat_env = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if plat_env:
+        try:
+            jax.config.update("jax_platforms", plat_env)
+        except Exception:
+            pass
+
     # multi-host topology must be known before logging (per-rank log
     # files, rank-0-only stdout — reference: src/main.cpp:53-64,308-320)
     maybe_init_distributed(args.distributed)
@@ -300,13 +318,6 @@ def main(argv=None) -> int:
     setup_logging(outdir, verbose=args.verbose, redo=args.redo,
                   process_index=pidx, process_count=pcount)
     log.info(BANNER + f"(v{__version__})\n")
-
-    # persistent XLA compilation cache: repeat runs (and the many
-    # same-shaped steps within a run) skip the minutes-long TPU compiles
-    import jax
-
-    from epa_ng_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
 
     if args.compute_dtype is None:
         options.compute_dtype = _default_dtype()

@@ -385,13 +385,17 @@ class PlacementEngine:
 
         logl, pendant, distal = self._thorough(pair_e, pair_q, codes, ranges)
 
-        # assemble per-query placement lists
+        # assemble per-query placement lists: pair arrays are edge-major,
+        # so group by query with one vectorized argsort (a python
+        # dict-append over the --no-heur Q x E pair list costs more than
+        # the whole device dispatch)
         pqueries = []
-        by_query: dict[int, list[int]] = {}
-        for i, q in enumerate(pair_q):
-            by_query.setdefault(int(q), []).append(i)
-        for q in sorted(by_query):
-            idx = np.asarray(by_query[q])
+        order = np.argsort(pair_q, kind="stable")
+        qsorted = pair_q[order]
+        uq, qstarts = np.unique(qsorted, return_index=True)
+        qends = np.append(qstarts[1:], len(qsorted))
+        for q, s, e in zip(uq, qstarts, qends):
+            idx = order[s:e]
             pqueries.append(PQuery(
                 seq_id=seq_id_offset + q,
                 headers=list(ec.headers[q]),
@@ -667,7 +671,12 @@ class PlacementEngine:
 
         def run_blocked(idx: np.ndarray, cap: int) -> np.ndarray:
             """Blocked-window Pallas path: pairs sorted by their query's
-            range begin, slabs of blk pairs, per-block site-window DMA."""
+            range begin, slabs of blk pairs, per-block site-window DMA.
+
+            All slabs are DISPATCHED before any result is read back: a
+            sync per slab would serialize the device behind the host's
+            ~25ms tunnel round trip (127 slabs on a --no-heur chunk),
+            whereas the dispatch queue keeps the chip busy back to back."""
             from epa_ng_tpu.ops.pallas_blo import plan_blocks_pairs
             done_out = np.zeros(P, dtype=bool)
             blk = 256
@@ -675,6 +684,7 @@ class PlacementEngine:
                 blk *= 2
             order = idx[np.argsort(begins[pair_q[idx]], kind="stable")]
             leftover = []
+            pending = []
             for start in range(0, len(order), blk):
                 sel = order[start:start + blk]
                 n = len(sel)
@@ -685,11 +695,13 @@ class PlacementEngine:
                 if not self._use_pallas(Wb):
                     leftover.append(sel)
                     continue
-                logl, pendant, distal_rep, done = _blo_blocked(
+                res = _blo_blocked(
                     self.consts, blo.tU, blo.tV, blo.ls, blo.lengths,
                     tQ, jnp.asarray(pair_e[pad]), jnp.asarray(pair_q[pad]),
                     jnp.asarray(pb), jnp.asarray(spans[pair_q[pad]]),
                     jnp.asarray(offs), Wb, cap)
+                pending.append((sel, n, res))
+            for sel, n, (logl, pendant, distal_rep, done) in pending:
                 out_logl[sel] = np.asarray(logl)[:n]
                 out_pendant[sel] = np.asarray(pendant)[:n]
                 out_distal[sel] = np.asarray(distal_rep)[:n]
@@ -710,6 +722,7 @@ class PlacementEngine:
             while blk < min(len(idx), block):
                 blk *= 2
             order = idx[np.argsort(widths[idx], kind="stable")]
+            pending = []
             for W in np.unique(widths[idx]):
                 widx = order[widths[order] == W]
                 use_pallas = (allow_pallas and opts.sliding_blo
@@ -730,11 +743,13 @@ class PlacementEngine:
                         jnp.asarray(begins[pair_q[pad]] - b_np),
                         jnp.asarray(spans[pair_q[pad]]),
                         int(W), opts.sliding_blo, cap, use_pallas)
-                    logl, pendant, distal_rep, done = res
-                    out_logl[sel] = np.asarray(logl)[:n]
-                    out_pendant[sel] = np.asarray(pendant)[:n]
-                    out_distal[sel] = np.asarray(distal_rep)[:n]
-                    done_out[sel] = np.asarray(done)[:n]
+                    pending.append((sel, n, res))
+            # dispatch-all-then-read: see run_blocked
+            for sel, n, (logl, pendant, distal_rep, done) in pending:
+                out_logl[sel] = np.asarray(logl)[:n]
+                out_pendant[sel] = np.asarray(pendant)[:n]
+                out_distal[sel] = np.asarray(distal_rep)[:n]
+                done_out[sel] = np.asarray(done)[:n]
             return done_out
 
         def run(idx: np.ndarray, cap: int) -> np.ndarray:
