@@ -572,13 +572,26 @@ class PlacementEngine:
         W2 = chunk_site_width(sub_r[:, 1], self.num_sites)
         blo = self.blo
         idx_j = jnp.asarray(idx)
+        # the redo rows are a subset of the begin-sorted chunk, so the
+        # blocked Pallas path's window assumption holds; at the 16x
+        # candidate budget the XLA fallback costs ~1s of lock-step Newton
+        # per chunk where the kernel needs tens of ms
+        Wb2 = None
+        if self._use_pallas(W2):
+            from epa_ng_tpu.ops.pallas_blo import plan_blocks
+            _, Wb2, _ = plan_blocks(sub_r[:, 0].astype(np.int32),
+                                    sub_r[:, 1].astype(np.int32),
+                                    self.num_sites, k2)
+            if not self._use_pallas(Wb2):
+                Wb2 = None
         out = placement_step(
             self.consts, self.lookup_table, blo.tU, blo.tV, blo.ls,
             blo.lengths, jnp.asarray(codes[idx]), jnp.asarray(sub_r[:, 0]),
             jnp.asarray(sub_r[:, 1]), tQ[idx_j], invq[idx_j],
             jnp.asarray(opts.prescoring_threshold, self.dtype),
             topk=k2, sliding=opts.sliding_blo, site_width=W2, packed=True,
-            use_pallas=False, heur_mode=heur_mode,
+            use_pallas=Wb2 is not None, block_width=Wb2,
+            heur_mode=heur_mode,
             filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
                         opts.filter_max),
             filter_threshold=jnp.asarray(opts.support_threshold, self.dtype))

@@ -305,20 +305,55 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     # materialize the gathered pair tensors once; otherwise XLA fuses the
     # edge gathers into every consumer inside the Newton loops
     args = jax.lax.optimization_barrier(args)
+    computed = None
     if use_pallas:
         from epa_ng_tpu.ops.pallas_blo import blo_optimize_batch_pallas
         tu, tv, tq, l, m, olen, iv = args
         logl, pendant, distal_rep, _, _, _ = blo_optimize_batch_pallas(
             consts, tu, tv, tq, l, m, olen, iv)
     else:
-        logl, pendant, distal_rep, _, _, _ = newton.blo_optimize_batch(
-            consts, *args, sliding=sliding)
+        # two-phase convergence compaction, XLA-kernel edition: under
+        # vmap the smoothing while_loop runs lock-step until the SLOWEST
+        # pair of the whole batch converges, so one straggler drags B
+        # pairs x [RK, W] of HBM traffic to 32 iterations. Run everything
+        # with a tiny cap, then rerun only the unconverged tail (compacted
+        # on device into a B/4 budget) with the full budget — the same
+        # trick the blocked Pallas path plays per 128-pair block. This is
+        # the hot path for AA/mixture/p-inv models and the wide-budget
+        # redo step, none of which the Pallas kernel supports.
+        B = Q * topk
+        max_sm = newton.SMOOTHINGS
+        two_phase = bool(phase1) and phase1 < max_sm and B >= 256
+        p1 = phase1 if two_phase else max_sm
+        logl, pendant, distal_rep, _, _, done = newton.blo_optimize_batch(
+            consts, *args, sliding=sliding, max_smoothings=p1)
+        if two_phase:
+            flat_valid = valid.reshape(-1)
+            unconv = flat_valid & ~done
+            NB = min(B, max(B // 4, 128))
+            key = jnp.where(unconv, 0, B) + jnp.arange(B)
+            idx2 = jnp.argsort(key)[:NB]
+            fits2 = unconv[idx2]
+            args2 = jax.tree_util.tree_map(lambda a: a[idx2], args)
+            loglB, pendB, distB, _, _, _ = newton.blo_optimize_batch(
+                consts, *args2, sliding=sliding, max_smoothings=max_sm)
+            logl = logl.at[idx2].set(jnp.where(fits2, loglB, logl[idx2]))
+            pendant = pendant.at[idx2].set(
+                jnp.where(fits2, pendB, pendant[idx2]))
+            distal_rep = distal_rep.at[idx2].set(
+                jnp.where(fits2, distB, distal_rep[idx2]))
+            handled = jnp.zeros((B,), bool).at[idx2].set(fits2)
+            # a valid pair that neither converged in phase A nor fit the
+            # phase-B budget is flagged uncomputed -> exact re-place
+            computed = ((done | handled | ~flat_valid)
+                        .astype(dtype).reshape(Q, topk))
 
     logl = logl.reshape(Q, topk)
     pendant = pendant.reshape(Q, topk)
     distal = distal_rep.reshape(Q, topk)
     return _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
-                          packed, filter_cfg=filter_cfg,
+                          packed, computed=computed,
+                          filter_cfg=filter_cfg,
                           filter_threshold=filter_threshold,
                           dynamic_budget=(heur_mode == "dynamic"))
 
