@@ -146,6 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
                       help="Preplacement lookup-table storage: bf16 halves "
                            "its HBM footprint on huge trees (TPU "
                            "extension; ranking-only precision impact).")
+    comp.add_argument("--fused-topk", type=int, default=None,
+                      help="Static candidate budget of the fused placement "
+                           "step under the dynamic heuristic (TPU "
+                           "extension; saturated queries re-run wider).")
     comp.add_argument("--distributed", nargs="?", const="auto", default=None,
                       metavar="COORD,N,IDX",
                       help="Initialize jax.distributed for a multi-host "
@@ -238,6 +242,8 @@ def options_from_args(args) -> Options:
         o.blo_block = args.blo_block
     if args.lookup_dtype is not None:
         o.lookup_dtype = args.lookup_dtype
+    if args.fused_topk is not None:
+        o.fused_topk = args.fused_topk
     o.memsave = args.memsave
     return o
 
@@ -305,8 +311,10 @@ def main(argv=None) -> int:
     if plat_env:
         try:
             jax.config.update("jax_platforms", plat_env)
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 - warn, run on default
+            print(f"WARNING: could not apply JAX_PLATFORMS={plat_env!r} "
+                  f"({exc}); continuing on the default backend",
+                  file=sys.stderr)
 
     # multi-host topology must be known before logging (per-rank log
     # files, rank-0-only stdout — reference: src/main.cpp:53-64,308-320)
@@ -318,6 +326,16 @@ def main(argv=None) -> int:
     setup_logging(outdir, verbose=args.verbose, redo=args.redo,
                   process_index=pidx, process_count=pcount)
     log.info(BANNER + f"(v{__version__})\n")
+
+    # guard the RESULT file itself, not only the log: deleting the log
+    # while keeping epa_result.jplace must not allow a silent clobber
+    # (reference: src/main.cpp:315-320)
+    if args.query and not args.redo:
+        result_file = os.path.join(outdir, args.out_file)
+        if os.path.exists(result_file):
+            log.error("%s already exists! To overwrite existing output "
+                      "files, rerun with --redo", result_file)
+            return 1
 
     if args.compute_dtype is None:
         options.compute_dtype = _default_dtype()

@@ -57,7 +57,10 @@ class PlacementEngine:
         self.dtype = (jnp.float64 if self.options.compute_dtype == "f64"
                       else jnp.float32)
 
-        if model.submodels is not None and model.pinv > 0:
+        from epa_ng_tpu.models.model import ParamValue
+        if model.submodels is not None and (
+                model.pinv > 0
+                or model.pinv_mode == ParamValue.EMPIRICAL):
             raise ValueError(
                 "p-inv is not supported together with matrix-mixture "
                 "models (LG4M/LG4X)")
@@ -66,6 +69,27 @@ class PlacementEngine:
             model.base_freqs = empirical_frequencies(masks, model.num_states)
             log.info("Using empirical base frequencies: %s", model.base_freqs)
 
+        masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
+
+        # invariant-site machinery (only materialized when pinv > 0).
+        # Must run BEFORE eigen.decompose: the decomposition snapshots
+        # model.pinv (the 1/(1-pinv) time scaling, ops.eigen.pmatrices).
+        self._ref_intersection = None
+        if model.pinv > 0 or model.pinv_mode == ParamValue.EMPIRICAL:
+            inter = masks[0].copy()
+            for row in masks[1:]:
+                inter &= row
+            if model.pinv_mode == ParamValue.EMPIRICAL and model.pinv == 0:
+                # +IC outside --opt-model: the empirical proportion of
+                # invariant sites — columns whose tip state masks share at
+                # least one state (all-gap columns count, matching
+                # pllmod_msa's convention; reference grammar:
+                # src/core/raxml/Model.cpp:355-376)
+                model.pinv = float((inter != 0).mean())
+                log.info("Using empirical p-inv: %.6f", model.pinv)
+            if model.pinv > 0:
+                self._ref_intersection = inter  # [S] uint32
+
         self.eig = eigen.decompose(model)
         self.consts = newton.eig_consts(self.eig, self.dtype)
 
@@ -73,19 +97,39 @@ class PlacementEngine:
         self.num_sites = ref_msa.num_sites
         self.num_edges = tree.n_edges
 
-        # invariant-site machinery (only materialized when pinv > 0)
-        self._ref_intersection = None
-        if model.pinv > 0:
-            masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
-            inter = masks[0].copy()
-            for row in masks[1:]:
-                inter &= row
-            self._ref_intersection = inter  # [S] uint32
+        # --- site-pattern compression (the SITE_REPEATS analog,
+        # reference: src/io/file_io.cpp:216-220): identical alignment
+        # columns yield identical CLV/lookup/BLO columns, so the whole
+        # reference-state build runs once per unique (all-tips) column
+        # pattern; per-pattern multiplicities weight the ref-tree logl and
+        # the derived full-site tensors are gather-expanded where query
+        # addressing needs them. Semantically invisible; skipped in
+        # --dump-binary mode (the store serializes full-site tensors).
+        self._site2pat = None
+        self._pat_first_idx = None
+        site_weights = None
+        if (self.options.pattern_compression
+                and not self.options.dump_binary_mode):
+            cols = np.ascontiguousarray(masks.T)
+            _, first_idx, inverse, counts = np.unique(
+                cols, axis=0, return_index=True, return_inverse=True,
+                return_counts=True)
+            if len(first_idx) < self.num_sites:
+                self._site2pat = inverse.astype(np.int32)
+                self._pat_first_idx = first_idx
+                tip_clvs = tip_clvs[:, first_idx, :]
+                site_weights = counts
+                log.info("Site-pattern compression: %d unique of %d "
+                         "columns", len(first_idx), self.num_sites)
+
+        inv_logterm = self._inv_logterm_sites()
+        if inv_logterm is not None and self._pat_first_idx is not None:
+            inv_logterm = inv_logterm[self._pat_first_idx]
 
         # edge tensors + reference logl in one jitted computation
         self.edges, ref_logl = clv_ops.build_reference_state(
             tree, self.eig, tip_clvs, dtype=self.dtype,
-            inv_logterm=self._inv_logterm_sites())
+            inv_logterm=inv_logterm, site_weights=site_weights)
         self._finish_init(ref_logl)
 
     @classmethod
@@ -104,6 +148,8 @@ class PlacementEngine:
         self.num_sites = num_sites
         self.num_edges = tree.n_edges
         self._ref_intersection = ref_intersection
+        self._site2pat = None        # binary stores hold full-site tensors
+        self._pat_first_idx = None
         self._finish_init()
         return self
 
@@ -211,9 +257,16 @@ class PlacementEngine:
                     "edge tensors were freed; the lookup table must be "
                     "built during engine init")
             et = self.edges
+            inv_chars = self._inv_logfreq_chars()
+            site_map = None
+            if self._site2pat is not None:
+                # compressed edge tensors: per-char invariant terms are a
+                # function of the column pattern too
+                inv_chars = inv_chars[:, self._pat_first_idx]
+                site_map = jnp.asarray(self._site2pat)
             table = lookup.build_lookup_tables(
                 self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths,
-                self._char_clvs, self._inv_logfreq_chars())
+                self._char_clvs, inv_chars, site_map)
             if self.options.lookup_dtype == "bf16":
                 self._lookup_table = lookup.split_table(table, jnp.bfloat16)
             else:
@@ -226,8 +279,11 @@ class PlacementEngine:
         path (newton.BloTensors), built on first use."""
         if self._blo is None:
             et = self.edges
+            site_map = (None if self._site2pat is None
+                        else jnp.asarray(self._site2pat))
             self._blo = newton.transform_edges(
-                self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths)
+                self.consts, et.U, et.lsU, et.V, et.lsV, et.lengths,
+                site_map)
         return self._blo
 
     def _query_tensors(self, qmasks: np.ndarray):
@@ -599,8 +655,14 @@ class PlacementEngine:
         edges2 = out[0].astype(np.int64)
         keep2 = out[5] > 0.5
         flags2 = np.rint(out[6][:, 0]).astype(np.int32)
-        exact_rows = ([i for i in range(n_redo) if flags2[i] & 1]
-                      if k2 < self.num_edges else [])
+        # a row re-enters the exact path when (a) its window misfit bit is
+        # set — the blocked kernel skipped a live candidate, possible even
+        # here because placement_step packs pairs from different-begin
+        # queries into shared 128-pair blocks — or (b) it saturated a
+        # budget that was still short of every edge
+        exact_rows = [i for i in range(n_redo)
+                      if (flags2[i] & 2)
+                      or ((flags2[i] & 1) and k2 < self.num_edges)]
         exact_pqs = iter(self._redo_exact(
             [redo[i] for i in exact_rows], codes, ranges, tQ, invq, perm,
             headers, seq_id_offset)) if exact_rows else iter(())

@@ -2,9 +2,14 @@
 pairs to compute, with split/merge for distributing across hosts.
 
 Python analog of the reference's Work token (src/core/Work.hpp) and its
-set_manipulators split/merge (src/set_manipulators.cpp:9-39): the engine
-consumes the flattened edge-major pair arrays; split/merge serve multi-host
-work distribution.
+set_manipulators split/merge (src/set_manipulators.cpp:9-39): the engine's
+hot path consumes flat edge-major pair arrays directly (core.heuristics).
+
+STATUS: forward-looking parity module. ``split``/``merge`` exist for a
+work-stealing / stage-parallel future (the reference's Work is likewise
+only exercised by its unwired Pipeline engine); the live multi-host
+distribution shards queries via reader offsets (parallel.dist,
+io.fasta/bfast), not Work sets.
 """
 
 from __future__ import annotations

@@ -16,10 +16,13 @@ from typing import Iterator, Optional
 import numpy as np
 
 # Characters treated as gaps when building all-gap column masks. The
-# reference delegates to genesis' undetermined-nucleotide set
-# (src/seq/MSA_Info.hpp:53); we use the conservative common subset that is a
-# gap for both DNA and AA data.
-GAP_CHARS = b"-?."
+# reference delegates to genesis' gap_sites with its default gap set —
+# nucleic_acid_codes_undetermined() == "NOX.-?", matched case-insensitively
+# (src/seq/MSA_Info.hpp:53) — for BOTH DNA and AA files, so e.g. an all-N
+# column is premasked exactly like an all-'-' column. We match that rule
+# (sequences are uppercased before masking, so the upper-case set suffices
+# here; the native scanner checks both cases on the raw bytes).
+GAP_CHARS = b"-?.NOX"
 
 # Characters treated as gaps for per-query valid ranges: the reference checks
 # '-' only (src/util/Range.hpp:34-49).

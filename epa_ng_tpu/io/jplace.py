@@ -66,6 +66,9 @@ class JplaceWriter:
         self._precision = precision
         self._fragment = fragment
         self._first = True
+        # queries written; fragment mode persists it in a ".count" sidecar
+        # so merge_jplace_shards can detect truncated/partial shards
+        self.n_queries = 0
 
     def _fmt(self, v: float) -> str:
         return f"{v:.{self._precision}f}"
@@ -104,6 +107,7 @@ class JplaceWriter:
         """Format one chunk from flat columns (the fused-path hot exit)."""
         if not len(cp):
             return
+        self.n_queries += len(cp.headers)
         edges, distals = cp.edges, cp.distals
         if self._mapper:
             edges, distals = self._mapper.in_rtree_batch(edges, distals)
@@ -131,6 +135,7 @@ class JplaceWriter:
     def write_pqueries(self, pqueries: list[PQuery]):
         if not pqueries:
             return
+        self.n_queries += len(pqueries)
         out: list[str] = []
         self._begin_chunk(out)
         for qi, pq in enumerate(pqueries):
@@ -157,7 +162,10 @@ class JplaceWriter:
     def close(self):
         if self._f is None:
             return
-        if not self._fragment:
+        if self._fragment:
+            with open(self.path + ".count", "w") as cf:
+                cf.write(str(self.n_queries))
+        else:
             if self._first:
                 # no placements at all: still emit a valid document
                 self._f.write("{\n")

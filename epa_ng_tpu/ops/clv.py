@@ -227,9 +227,17 @@ def build_edge_tensors(tree: Tree, eig: EigenModel, tip_clvs: np.ndarray,
 
 
 def build_reference_state(tree: Tree, eig: EigenModel, tip_clvs: np.ndarray,
-                          dtype=jnp.float64, inv_logterm=None):
+                          dtype=jnp.float64, inv_logterm=None,
+                          site_weights=None):
     """EdgeTensors + reference-tree log-likelihood in ONE jitted
     computation (P matrices -> CLV scan -> edge gathers -> edge logl).
+
+    ``site_weights``: [S] per-column multiplicities for the logl sum when
+    ``tip_clvs`` holds pattern-COMPRESSED columns (the site-repeats analog,
+    reference: src/io/file_io.cpp:216-220) — identical alignment columns
+    produce identical CLV columns everywhere in the tree, so the scan runs
+    once per unique pattern and the logl weights each pattern by its
+    column count. None = every column weight 1.
 
     The whole init path compiles once and persists in the compilation
     cache; stage-by-stage eager dispatch cost minutes of XLA compiles per
@@ -243,7 +251,9 @@ def build_reference_state(tree: Tree, eig: EigenModel, tip_clvs: np.ndarray,
         jnp.asarray(eig.eigenvals, dtype), jnp.asarray(eig.A, dtype),
         jnp.asarray(eig.Ainv, dtype), jnp.asarray(eig.rates, dtype),
         jnp.asarray(eig.weights, dtype), jnp.asarray(eig.freqs, dtype),
-        inv_logterm, n_clvs=ops.n_clvs, pinv=eig.pinv)
+        inv_logterm,
+        None if site_weights is None else jnp.asarray(site_weights, dtype),
+        n_clvs=ops.n_clvs, pinv=eig.pinv)
     edges = EdgeTensors(U=U, V=V, lsU=lsU, lsV=lsV,
                         lengths=jnp.asarray(tree.edge_lengths, dtype))
     return edges, float(logl)
@@ -270,7 +280,7 @@ def invariant_pattern_logls(tree: Tree, eig: EigenModel, dtype=jnp.float64):
 @partial(jax.jit, static_argnames=("n_clvs", "pinv"))
 def _reference_state_jit(ops_arr, u_idx, v_idx, tip_clvs, edge_lengths,
                          eigenvals, A, Ainv, rates, weights, freqs,
-                         inv_logterm, n_clvs: int, pinv: float):
+                         inv_logterm, site_weights, n_clvs: int, pinv: float):
     from epa_ng_tpu.ops import likelihood
     t = edge_lengths[:, None] * rates / (1.0 - pinv)
     expd = jnp.exp(t[..., None] * eigenvals)              # [E, R, K]
@@ -285,5 +295,5 @@ def _reference_state_jit(ops_arr, u_idx, v_idx, tip_clvs, edge_lengths,
     U, V, lsU, lsV = buf[u_idx], buf[v_idx], ls[u_idx], ls[v_idx]
     logl = likelihood.edge_loglikelihood(
         U[0], lsU[0], V[0], lsV[0], P[0], freqs, weights, pinv=pinv,
-        inv_logterm=inv_logterm)
+        inv_logterm=inv_logterm, site_mask=site_weights)
     return U, V, lsU, lsV, logl

@@ -30,13 +30,20 @@ from epa_ng_tpu.ops.newton import DEFAULT_PENDANT, EigConsts
 
 @jax.jit
 def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
-                        inv_logfreq_chars):
+                        inv_logfreq_chars, site_map=None):
     """[E, C, S] per-site log-likelihood of placing each lookup character.
 
     U, V: [E,R,K,S]; lsU, lsV: [E,R,S]; lengths: [E]; char_clvs: [C,K]
     multi-hot rows for every lookup column; inv_logfreq_chars: [C,S]
     log(pinv * pi_inv(c,s)) where invariance intersects the reference tips
     with the placed character (-inf elsewhere; all -inf when pinv == 0).
+
+    ``site_map``: [S_full] int32 pattern index per original site when the
+    edge tensors are pattern-compressed (site-repeats analog); the table is
+    computed once per unique pattern and gather-expanded to full width at
+    the end (scoring needs full-site addressing because queries differ at
+    duplicated reference columns). In that case ``inv_logfreq_chars`` is
+    already in compressed [C, S_patterns] space.
 
     Insertion geometry matches the preplacement Tiny_Tree: proximal = distal
     = original/2, pendant = -log(0.9) (reference: tiny_util.cpp:289,
@@ -82,7 +89,10 @@ def build_lookup_tables(c: EigConsts, U, lsU, V, lsV, lengths, char_clvs,
     # p-inv: log((1-p) * lk_scaled + p * pi_inv)
     table = jnp.logaddexp(jnp.log1p(-c.pinv) + table,
                           inv_logfreq_chars[None])
-    return jnp.maximum(table, jnp.finfo(table.dtype).min / 2)
+    table = jnp.maximum(table, jnp.finfo(table.dtype).min / 2)
+    if site_map is not None:
+        table = jnp.take(table, site_map, axis=2)
+    return table
 
 
 def split_table(table, resid_dtype=None):

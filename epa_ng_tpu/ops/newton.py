@@ -91,9 +91,16 @@ class BloTensors(NamedTuple):
 
 
 @jax.jit
-def transform_edges(c: EigConsts, U, lsU, V, lsV, lengths) -> BloTensors:
+def transform_edges(c: EigConsts, U, lsU, V, lsV, lengths,
+                    site_map=None) -> BloTensors:
     """Build the BLO sumtable store from plain edge tensors
-    (ops.clv.EdgeTensors layout: U, V [E,R,K,S]; lsU, lsV [E,R,S])."""
+    (ops.clv.EdgeTensors layout: U, V [E,R,K,S]; lsU, lsV [E,R,S]).
+
+    ``site_map``: [S_full] pattern index per original site when the edge
+    tensors are pattern-compressed (site-repeats analog): the transform
+    runs once per unique pattern, then gather-expands to full width (the
+    Newton stage needs full-site addressing — query tips differ at
+    duplicated reference columns)."""
     E, R, K, S = U.shape
     lsr = lsU + lsV                                    # [E,R,S]
     ls = jnp.max(lsr, axis=1)                          # [E,S]
@@ -104,8 +111,13 @@ def transform_edges(c: EigConsts, U, lsU, V, lsV, lengths) -> BloTensors:
     else:
         tU = jnp.einsum("kj,erjs->erks", c.Ainv, U, precision=_PP)
         tV = jnp.einsum("kj,erjs->erks", c.Ainv, Vs, precision=_PP)
-    return BloTensors(tU=tU.reshape(E, R * K, S), tV=tV.reshape(E, R * K, S),
-                      ls=ls, lengths=lengths)
+    tU = tU.reshape(E, R * K, S)
+    tV = tV.reshape(E, R * K, S)
+    if site_map is not None:
+        tU = jnp.take(tU, site_map, axis=2)
+        tV = jnp.take(tV, site_map, axis=2)
+        ls = jnp.take(ls, site_map, axis=1)
+    return BloTensors(tU=tU, tV=tV, ls=ls, lengths=lengths)
 
 
 @jax.jit

@@ -38,18 +38,41 @@ def merge_jplace_shards(outdir: str, out_file: str, count: int,
                         final_dir: str | None = None):
     """Concatenate per-host fragment shards into the final jplace document.
     Called on the coordinator (process 0) after all hosts finished.
-    ``outdir`` holds the shards (possibly --tmp); ``final_dir`` the result."""
+    ``outdir`` holds the shards (possibly --tmp); ``final_dir`` the result.
+
+    FAILS LOUDLY on a missing or truncated shard: a rank that died after
+    the barrier — or a mis-set --tmp — must not yield a valid-looking
+    document with silently missing queries (the reference's MPI-IO
+    collective write cannot lose a rank silently either,
+    src/io/jplace_writer.hpp:92-132). Each shard carries a ``.count``
+    sidecar written by JplaceWriter.close with its query count; the merge
+    verifies the fragment's pquery count against it."""
     from epa_ng_tpu.io.jplace import _trailer, write_header
+    missing = [i for i in range(count) if not os.path.exists(
+        os.path.join(outdir, f"{out_file}.shard{i}"))]
+    if missing:
+        raise RuntimeError(
+            f"jplace merge: missing shard(s) {missing} of {count} in "
+            f"{outdir!r} — a worker process died or wrote to a different "
+            "--tmp directory; refusing to emit a partial result")
     final = os.path.join(final_dir or outdir, out_file)
     with open(final, "w") as out:
         write_header(out, tree_string)
         wrote_any = False
         for i in range(count):
             shard = os.path.join(outdir, f"{out_file}.shard{i}")
-            if not os.path.exists(shard):
-                continue
             with open(shard) as f:
                 content = f.read()
+            count_file = shard + ".count"
+            if os.path.exists(count_file):
+                with open(count_file) as cf:
+                    expected = int(cf.read().strip() or "0")
+                # every pquery fragment carries exactly one "n" name list
+                got = content.count('"n": [')
+                if got != expected:
+                    raise RuntimeError(
+                        f"jplace merge: shard {i} is truncated: has {got} "
+                        f"pqueries, its writer recorded {expected}")
             if not content:
                 continue
             if wrote_any:
@@ -58,9 +81,10 @@ def merge_jplace_shards(outdir: str, out_file: str, count: int,
             wrote_any = True
         out.write(_trailer(invocation))
     for i in range(count):
-        shard = os.path.join(outdir, f"{out_file}.shard{i}")
-        if os.path.exists(shard):
-            os.remove(shard)
+        for path in (os.path.join(outdir, f"{out_file}.shard{i}"),
+                     os.path.join(outdir, f"{out_file}.shard{i}.count")):
+            if os.path.exists(path):
+                os.remove(path)
     return final
 
 

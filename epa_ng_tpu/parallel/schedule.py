@@ -4,9 +4,15 @@ Python re-expression of the reference's rebalancing solver
 (src/pipeline/schedule.cpp): measured per-stage times are normalized into
 difficulties; ``solve`` assigns nodes proportional to difficulty (first and
 last stage pinned to one node); ``assign``/``reassign`` compute and migrate
-rank->stage maps with minimal movement. The math is backend-agnostic — in
-the TPU framework it drives host-level rebalancing of the streaming
-pipeline stages across a multi-host job.
+rank->stage maps with minimal movement.
+
+STATUS: forward-looking parity module. Like the reference's own scheduler
+(unit-tested but never called from the v0.3.8 ``simple_mpi`` path,
+src/pipeline/Pipeline.hpp:35, src/pipeline/schedule.cpp:16-54), this solver
+is unit-tested serial math (tests/test_schedule.py) that no runtime
+currently consumes: the active distributed mode is plain query data
+parallelism, and ``core.pipeline.StreamingPipeline`` records stage timers
+that a future cross-host rebalancer would feed into ``assign``/``reassign``.
 """
 
 from __future__ import annotations

@@ -45,7 +45,17 @@ class Options:
 
     # compute
     num_threads: int = 0  # kept for CLI parity; TPU path ignores it
-    repeats: bool = False  # site-repeats has no TPU analog; accepted + ignored
+    # CLI-parity flag (reference enables libpll SITE_REPEATS when
+    # premasking is off, src/main.cpp:393-397). The TPU analog —
+    # site-pattern compression of the reference-state build — is
+    # controlled by pattern_compression below and is ALWAYS beneficial,
+    # so it does not key off this flag.
+    repeats: bool = False
+    # site-pattern compression (SITE_REPEATS analog): run the CLV scan /
+    # lookup build / BLO transform once per unique alignment column,
+    # weight the ref logl by pattern multiplicity. Semantically invisible;
+    # off only for A/B testing.
+    pattern_compression: bool = True
     scaling: NumericalScaling = NumericalScaling.AUTO
     preserve_rooting: bool = True
 

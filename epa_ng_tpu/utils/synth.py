@@ -57,9 +57,28 @@ def random_tree(n_taxa: int, seed: int = 0) -> Tree:
     return Tree.from_string(to_newick(root) + ";")
 
 
-def random_msa(labels, sites: int, seed: int = 1, alphabet: str = DNA) -> MSA:
+def random_msa(labels, sites: int, seed: int = 1, alphabet: str = DNA,
+               n_patterns: int | None = None) -> MSA:
+    """``n_patterns``: draw only that many distinct columns and tile them
+    to ``sites`` — a pattern-heavy alignment like real (conserved) data,
+    for exercising site-pattern compression. None keeps the original
+    fully-random generator (and its exact RNG stream)."""
     rng = np.random.default_rng(seed)
     K = len(alphabet)
+    if n_patterns is not None:
+        cols = n_patterns
+        base = rng.integers(0, K, size=cols)
+        mat = np.empty((len(labels), cols), dtype=np.int64)
+        for i in range(len(labels)):
+            mut = rng.random(cols) < 0.25
+            mat[i] = np.where(mut, rng.integers(0, K, size=cols), base)
+        tile = rng.integers(0, cols, size=sites)
+        mat = mat[:, tile]
+        msa = MSA()
+        lut = np.frombuffer("".join(alphabet).encode(), dtype=np.uint8)
+        for i, label in enumerate(labels):
+            msa.append(label, lut[mat[i]].tobytes().decode())
+        return msa
     base = rng.integers(0, K, size=sites)
     msa = MSA()
     for i, label in enumerate(labels):
@@ -86,9 +105,10 @@ def random_queries(n: int, sites: int, seed: int = 2,
 
 
 def synth_dataset(n_taxa=64, sites=400, n_queries=256, seed=0,
-                  alphabet: str = DNA):
+                  alphabet: str = DNA, n_patterns: int | None = None):
     tree = random_tree(n_taxa, seed)
-    ref = random_msa(tree.labels, sites, seed + 1, alphabet)
+    ref = random_msa(tree.labels, sites, seed + 1, alphabet,
+                     n_patterns=n_patterns)
     qry = random_queries(n_queries, sites, seed + 2, alphabet=alphabet)
     return tree, ref, qry
 

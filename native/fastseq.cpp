@@ -67,7 +67,10 @@ void fs_close(void* handle) {
 }
 
 // One info prepass: counts sequences, checks equal widths, AND-accumulates
-// the all-gap column mask (gap chars: '-', '?', '.').
+// the all-gap column mask. Gap chars follow genesis'
+// nucleic_acid_codes_undetermined() set "NOX.-?", matched case-
+// insensitively (the rule the reference's MSA_Info prepass applies,
+// src/seq/MSA_Info.hpp:53).
 // Returns 0 on success; -1 io error; -2 width mismatch; -3 not fasta.
 // gap_mask (caller-allocated, >= n_sites bytes) may be null.
 long fs_info(const char* path, int64_t* n_seqs, int64_t* n_sites,
@@ -95,7 +98,9 @@ long fs_info(const char* path, int64_t* n_seqs, int64_t* n_sites,
       for (const char* q = p; q < nl; ++q) {
         char c = *q;
         if (c == '\r' || c == ' ' || c == '\t') continue;
-        bool gap = (c == '-' || c == '?' || c == '.');
+        bool gap = (c == '-' || c == '?' || c == '.' ||
+                    c == 'N' || c == 'n' || c == 'O' || c == 'o' ||
+                    c == 'X' || c == 'x');
         if (gap_mask && slen < mask_cap) {
           if (!mask_init) {
             gap_mask[slen] = gap ? 1 : 0;

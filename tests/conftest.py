@@ -7,7 +7,10 @@ libpll kernels).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set, not setdefault: the sandbox may export JAX_PLATFORMS=axon
+# globally, and the CLI honors an explicit env choice (cli.py) — tests
+# driving the CLI must still land on CPU
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

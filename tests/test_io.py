@@ -167,3 +167,54 @@ def test_msastream_shard_skip_matches_sequential(tmp_path):
             chunk = s.read_next(100)
             got.extend((q.header, q.sequence) for q in chunk)
         assert got == [(q.header, q.sequence) for q in whole]
+
+
+def _genesis_gap_mask(path):
+    """Independent oracle for the premask rule: genesis gap_sites with its
+    default nucleic_acid_codes_undetermined() == "NOX.-?" set, matched
+    case-insensitively over RAW (non-uppercased) characters — what the
+    reference's MSA_Info prepass computes (src/seq/MSA_Info.hpp:22-59)."""
+    gap = set("NOX.-?nox")
+    mask = None
+    for _, seq in fio.iter_any_seqfile(path):
+        cur = np.array([c in gap for c in seq])
+        mask = cur if mask is None else (mask & cur)
+    return mask
+
+
+def test_gap_mask_matches_genesis_rule():
+    """Pins GAP_CHARS to the genesis undetermined set: the mask the repo
+    computes on reference test data equals the genesis-rule oracle."""
+    for name in ("aln.fasta", "query.fasta", "range_combined.fasta"):
+        info = fio.make_msa_info(f"{D}/{name}")
+        want = _genesis_gap_mask(f"{D}/{name}")
+        assert (info.gap_mask == want).all(), name
+
+
+def test_all_N_column_is_premasked(tmp_path):
+    """An all-N column counts as all-gap, like the reference (genesis
+    treats N/O/X as undetermined); a column with any real base does not."""
+    p = tmp_path / "n.fasta"
+    p.write_text(">a\nAN-NC\n>b\nGN-xA\n>c\nTn-oT\n")
+    info = fio.make_msa_info(str(p))
+    assert info.gap_mask.tolist() == [False, True, True, True, False]
+    msa = fio.build_msa_from_file(str(p), info, premask=True)
+    assert msa[0].sequence == "AC"
+
+
+def test_native_and_python_masks_agree(tmp_path):
+    """The C++ mmap scanner and the python fallback implement the same
+    gap rule (incl. lowercase n/o/x on raw bytes)."""
+    from epa_ng_tpu.io.native import native_info
+    p = tmp_path / "mix.fasta"
+    p.write_text(">a\nANoX.-?CgT\n>b\nGnOx.-?cGa\n")
+    got = native_info(str(p))
+    if got is None:
+        import pytest
+        pytest.skip("native scanner unavailable")
+    n_seqs, n_sites, mask = got
+    info_py = fio.MSAInfo(path=str(p), sites=n_sites, sequences=n_seqs,
+                          gap_mask=mask)
+    want = _genesis_gap_mask(str(p))
+    assert (info_py.gap_mask == want).all()
+    assert n_seqs == 2 and n_sites == 10

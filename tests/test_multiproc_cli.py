@@ -84,7 +84,100 @@ def test_rank1_logs_nothing_to_stdout(tmp_path, capsys):
     assert "Sequences done" in log1
 
 
+def test_merge_raises_on_missing_shard(tmp_path):
+    """A rank that never wrote its shard (died / wrong --tmp) must abort
+    the merge, not yield a valid-looking partial document (reference: the
+    MPI-IO collective write can't silently lose a rank,
+    src/io/jplace_writer.hpp:92-132)."""
+    from epa_ng_tpu.parallel.dist import merge_jplace_shards
+    (tmp_path / "epa_result.jplace.shard0").write_text(
+        '    {"p": [\n      [0, -1.0, 1.0, 0.1, 0.1]\n      ],\n'
+        '    "n": ["q1"]\n    }')
+    with pytest.raises(RuntimeError, match=r"missing shard\(s\) \[1\]"):
+        merge_jplace_shards(str(tmp_path), "epa_result.jplace", 2,
+                            "(a,b);", "inv")
+    assert not (tmp_path / "epa_result.jplace").exists() or \
+        "placements" not in (tmp_path / "epa_result.jplace").read_text()
+
+
+def test_merge_raises_on_truncated_shard(tmp_path):
+    """A shard whose .count sidecar disagrees with its content (crashed
+    mid-write) must abort the merge."""
+    from epa_ng_tpu.parallel.dist import merge_jplace_shards
+    frag = ('    {"p": [\n      [0, -1.0, 1.0, 0.1, 0.1]\n      ],\n'
+            '    "n": ["q1"]\n    }')
+    (tmp_path / "epa_result.jplace.shard0").write_text(frag)
+    (tmp_path / "epa_result.jplace.shard0.count").write_text("2")
+    with pytest.raises(RuntimeError, match="truncated"):
+        merge_jplace_shards(str(tmp_path), "epa_result.jplace", 1,
+                            "(a,b);", "inv")
+
+
+def test_result_overwrite_guard(tmp_path):
+    """epa_result.jplace itself is --redo-guarded, independent of the log
+    file (reference: src/main.cpp:315-320)."""
+    out = tmp_path / "guard"
+    out.mkdir()
+    rc = main(["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+               "-q", f"{D}/query.fasta", "-m", MODEL,
+               "-w", str(out) + "/"])
+    assert rc == 0
+    before = (out / "epa_result.jplace").read_text()
+    # delete the log but keep the result: rerun without --redo must fail
+    (out / "epa_info.log").unlink()
+    rc = main(["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+               "-q", f"{D}/query.fasta", "-m", MODEL,
+               "-w", str(out) + "/"])
+    assert rc == 1
+    assert (out / "epa_result.jplace").read_text() == before
+
+
 def test_bad_distributed_spec():
     from epa_ng_tpu.cli import maybe_init_distributed
     with pytest.raises(SystemExit, match="bad --distributed spec"):
         maybe_init_distributed("nonsense-without-commas")
+
+
+def test_real_jax_distributed_two_procs(tmp_path):
+    """End-to-end jax.distributed smoke test: two REAL processes init via
+    --distributed coordinator,2,rank (TCP on localhost, CPU backend),
+    exercising maybe_init_distributed, the cross-host barrier and the
+    rank-0 shard merge — the env-override path above never touches the
+    real init (reference analog: src/net/epa_mpi_util.cpp:10-30)."""
+    import json as _json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("EPA_NG_TPU_PROCESS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    outdir = tmp_path / "dist"
+    outdir.mkdir()
+    procs = []
+    for rank in (0, 1):
+        procs.append(subprocess.Popen(
+            [_sys.executable, "-m", "epa_ng_tpu.cli",
+             "-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+             "-q", f"{D}/query.fasta", "-m", MODEL,
+             "-w", str(outdir) + "/", "--redo",
+             "--distributed", f"{coord},2,{rank}"],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    doc = _json.load(open(outdir / "epa_result.jplace"))
+    names = sorted(tuple(p["n"])[0] for p in doc["placements"])
+    assert names == ["Carp", "Rat"]
+    assert (outdir / "0.epa_info.log").exists()
+    assert (outdir / "1.epa_info.log").exists()

@@ -200,3 +200,99 @@ def test_pinv_blo_matches_extended_tree(engine_pinv, queries):
                                     pq.pendant_lengths[0],
                                     pq.distal_lengths[0])
         assert pq.logls[0] == pytest.approx(want, abs=1e-6), qi
+
+
+def test_empirical_pinv_outside_opt_model(queries):
+    """+IC without --opt-model computes the empirical invariant-site
+    fraction from the reference alignment at engine init (reference
+    grammar: src/core/raxml/Model.cpp:355-376) and places identically to
+    an explicit +IU{that value} — no silent pinv==0 no-op."""
+    tree = Tree.from_file(f"{D}/ref.tre")
+    info = fio.make_msa_info(f"{D}/aln.fasta")
+    msa = fio.build_msa_from_file(f"{D}/aln.fasta", info, premask=False)
+    base = "GTR{1.2/2.8/0.9/1.1/3.1/1}+FU{0.27/0.23/0.24/0.26}+G4{0.7}"
+    opts = Options(premasking=False, blo_block=64)
+
+    m_ic = Model.from_string(base + "+IC")
+    assert m_ic.pinv == 0.0
+    eng_ic = PlacementEngine(tree, msa, m_ic, opts)
+    # the alignment has invariant columns, so the empirical value is real
+    assert 0.0 < m_ic.pinv < 1.0
+
+    m_iu = Model.from_string(base + "+IU{" + repr(m_ic.pinv) + "}")
+    eng_iu = PlacementEngine(Tree.from_file(f"{D}/ref.tre"), msa, m_iu,
+                             Options(premasking=False, blo_block=64))
+    assert eng_ic.ref_tree_logl == pytest.approx(eng_iu.ref_tree_logl,
+                                                 abs=1e-9)
+    # and differs from the pinv-less model: the +IC is not a no-op
+    eng_0 = PlacementEngine(Tree.from_file(f"{D}/ref.tre"), msa,
+                            Model.from_string(base),
+                            Options(premasking=False, blo_block=64))
+    assert abs(eng_ic.ref_tree_logl - eng_0.ref_tree_logl) > 1e-3
+
+    pq_ic = eng_ic.place_chunk(queries)
+    pq_iu = eng_iu.place_chunk(queries)
+    for a, b in zip(pq_ic, pq_iu):
+        assert a.edge_nums.tolist() == b.edge_nums.tolist()
+        np.testing.assert_allclose(a.logls, b.logls, atol=1e-9)
+
+
+def test_pattern_compression_invisible(queries):
+    """Site-pattern compression (the SITE_REPEATS analog, reference:
+    src/io/file_io.cpp:216-220) must be semantically invisible: identical
+    ref-tree logl and identical placements with it on and off. aln.fasta
+    is pattern-heavy (705 columns, far fewer unique patterns), so the
+    compressed path genuinely runs compressed here."""
+    tree = Tree.from_file(f"{D}/ref.tre")
+    info = fio.make_msa_info(f"{D}/aln.fasta")
+    msa = fio.build_msa_from_file(f"{D}/aln.fasta", info, premask=False)
+    base = "GTR{1.2/2.8/0.9/1.1/3.1/1}+FU{0.27/0.23/0.24/0.26}+G4{0.7}"
+
+    eng_c = PlacementEngine(tree, msa, Model.from_string(base),
+                            Options(premasking=False, blo_block=64))
+    assert eng_c._site2pat is not None  # compression engaged
+    assert len(eng_c._pat_first_idx) < msa.num_sites
+
+    eng_f = PlacementEngine(
+        Tree.from_file(f"{D}/ref.tre"), msa, Model.from_string(base),
+        Options(premasking=False, blo_block=64, pattern_compression=False))
+    assert eng_f._site2pat is None
+
+    assert eng_c.ref_tree_logl == pytest.approx(eng_f.ref_tree_logl,
+                                                abs=1e-9)
+    # the expanded BLO store agrees to machine precision (XLA may
+    # reassociate reductions across the different widths -> ~1 ulp)
+    np.testing.assert_allclose(np.asarray(eng_c.blo.tU),
+                               np.asarray(eng_f.blo.tU), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(eng_c.blo.ls),
+                               np.asarray(eng_f.blo.ls),
+                               rtol=1e-12, atol=1e-12)
+
+    pq_c = eng_c.place_chunk(queries)
+    pq_f = eng_f.place_chunk(queries)
+    for a, b in zip(pq_c, pq_f):
+        assert a.edge_nums.tolist() == b.edge_nums.tolist()
+        np.testing.assert_allclose(a.logls, b.logls, atol=1e-9)
+        np.testing.assert_allclose(a.pendant_lengths, b.pendant_lengths,
+                                   atol=1e-12)
+
+
+def test_pattern_compression_with_pinv(queries):
+    """Compression composes with p-inv: the per-pattern invariant terms
+    equal the per-site ones."""
+    info = fio.make_msa_info(f"{D}/aln.fasta")
+    msa = fio.build_msa_from_file(f"{D}/aln.fasta", info, premask=False)
+    mstr = ("GTR{1.2/2.8/0.9/1.1/3.1/1}+FU{0.27/0.23/0.24/0.26}"
+            "+IU{0.2}+G4{0.7}")
+    eng_c = PlacementEngine(Tree.from_file(f"{D}/ref.tre"), msa,
+                            Model.from_string(mstr),
+                            Options(premasking=False, blo_block=64))
+    eng_f = PlacementEngine(
+        Tree.from_file(f"{D}/ref.tre"), msa, Model.from_string(mstr),
+        Options(premasking=False, blo_block=64, pattern_compression=False))
+    assert eng_c._site2pat is not None
+    assert eng_c.ref_tree_logl == pytest.approx(eng_f.ref_tree_logl,
+                                                abs=1e-9)
+    codes, _, ranges = eng_c._encode_chunk(queries)
+    np.testing.assert_allclose(eng_c.preplace(codes, ranges),
+                               eng_f.preplace(codes, ranges), atol=1e-9)
