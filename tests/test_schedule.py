@@ -72,3 +72,46 @@ def test_streaming_pipeline_order_and_errors():
     p2 = StreamingPipeline(bad_read, lambda c, i: c, lambda r: None)
     with pytest.raises(RuntimeError, match="boom"):
         p2.run()
+
+
+def test_pipeline_timers_drive_rebalance():
+    """Closes the loop the reference never wired either: the streaming
+    pipeline's MEASURED per-stage timers feed to_difficulty -> solve ->
+    reassign exactly as a cross-host rebalancer would (reference math:
+    src/pipeline/schedule.cpp:16-54; exponential-backoff rebalance points
+    in src/pipeline/Pipeline.hpp:154-159)."""
+    import time
+
+    from epa_ng_tpu.core.pipeline import StreamingPipeline
+
+    def run_skewed(compute_cost, write_cost):
+        chunks = iter(range(12))
+        pipe = StreamingPipeline(
+            lambda: next(chunks, None),
+            lambda c, i: (time.sleep(compute_cost), c)[1],
+            lambda r: time.sleep(write_cost))
+        pipe.run()
+        return [pipe.read_timer, pipe.compute_timer, pipe.write_timer]
+
+    # the solver pins the first/last (IO) stages to one node each
+    # (schedule.cpp:24-27), so only interior stages scale: model the
+    # reference's 4-stage layout (mpihead.hpp:19-22) with two measured
+    # compute stages — preplacement-heavy first, thorough-heavy later.
+    t1 = run_skewed(0.004, 0.0)   # phase 1: stage "preplace" dominates
+    t2 = run_skewed(0.0008, 0.0)
+    stage_avg = [max(t1[0].avg(), 1e-6), max(t1[1].avg(), 1e-6),
+                 max(t2[1].avg(), 1e-6), max(t1[2].avg(), 1e-6)]
+    nps = solve(4, 16, to_difficulty(stage_avg))
+    assert sum(nps) == 16
+    assert nps[0] == 1 and nps[3] == 1          # IO stages pinned
+    assert nps[1] == max(nps) and nps[1] >= 9   # slow stage gets the nodes
+    rank_assignm, local_stage = assign(0, nps)
+
+    # phase 2: the skew flips to the other compute stage -> reassign
+    # migrates ranks with minimal movement
+    stage_avg2 = [stage_avg[0], stage_avg[2], stage_avg[1], stage_avg[3]]
+    nps2 = solve(4, 16, to_difficulty(stage_avg2))
+    assert nps2[2] == max(nps2) and nps2[2] >= 9
+    local_stage = reassign(0, nps2, rank_assignm, local_stage)
+    assert sorted(r for st in rank_assignm for r in st) == list(range(16))
+    assert [len(st) for st in rank_assignm] == nps2
