@@ -37,9 +37,12 @@ N_TAXA = 512
 SITES = 512
 # enough chunks that the one final device sync (~20 ms through the TPU
 # tunnel) amortizes away, matching the streaming engine's steady state
-# (it queues chunk steps and only syncs when draining results)
+# (it queues chunk steps and only syncs when draining results).
+# chunk 1024 beats 512 by ~3%: the tunneled relay charges ~1.3 ms per
+# dispatched step, so fewer, larger steps win until buffer sizes bite
+# (2048 measured slightly worse).
 N_QUERIES = 8192
-CHUNK = 512
+CHUNK = 1024
 TOPK = 8
 
 MODEL = "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}"
@@ -144,11 +147,11 @@ def run_e2e():
     tmp = tempfile.mkdtemp(prefix="epa_ng_tpu_bench_")
     tpath, rpath, qpath = synth_files(tmp, n_taxa=N_TAXA, sites=SITES,
                                       n_queries=N_QUERIES, seed=7)
-    # chunk 512 + fused-topk 8 = the fused-step section's exact program
+    # chunk + fused-topk matching the fused-step section's exact program
     # signature, so this section adds NO device compiles after
     # run_fused_step (or on a warmed persistent cache)
     args = ["--tree", tpath, "--ref-msa", rpath, "--query", qpath,
-            "-m", MODEL, "-w", tmp, "--redo", "--chunk-size", "512",
+            "-m", MODEL, "-w", tmp, "--redo", "--chunk-size", str(CHUNK),
             "--fused-topk", str(TOPK)]
 
     stats = []

@@ -128,6 +128,7 @@ def preplace_scores_core(table, codes, begins, spans):
     else:
         resid, mean = split_table(table)
     E, C, S = resid.shape
+    Q = codes.shape[0]
     dtype = mean.dtype
     site = jnp.arange(S)
     in_range = ((site[None, :] >= begins[:, None])
@@ -137,10 +138,22 @@ def preplace_scores_core(table, codes, begins, spans):
                         preferred_element_type=dtype, precision=_PP)
     rdt = resid.dtype
 
+    if Q * C * S * 4 <= 256 * 1024 * 1024:
+        # one [Q, C*S] x [C*S, E] matmul: C separate [Q,S]x[S,E] matmuls
+        # are too small to fill the MXU and serialize behind each other
+        # (measured ~4x slower at bench shapes); the masked one-hot temp
+        # is affordable below ~256 MB
+        oh = (codes[:, None, :] == jnp.arange(C)[None, :, None])
+        oh = oh.astype(rdt) * in_range[:, None, :].astype(rdt)
+        return scores + jnp.einsum(
+            "qx,ex->qe", oh.reshape(Q, C * S), resid.reshape(E, C * S),
+            preferred_element_type=dtype)
+
     def per_char(c, acc):
         # fori_loop (not an unrolled python loop): keeps the per-character
         # [Q,S] selection buffers sequential — unrolled, XLA fuses them
-        # back into one [Q,C,S] temp, exactly the blowup being avoided
+        # back into one [Q,C,S] temp, exactly the blowup avoided on
+        # huge-site chunks where the one-hot path above would need GBs
         r = jax.lax.dynamic_slice_in_dim(resid, c, 1, axis=1)[:, 0, :]
         sel = jnp.where(codes == c, in_range, 0.0).astype(rdt)
         return acc + jnp.einsum("qs,es->qe", sel, r,
