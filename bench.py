@@ -147,12 +147,12 @@ def run_e2e():
     tmp = tempfile.mkdtemp(prefix="epa_ng_tpu_bench_")
     tpath, rpath, qpath = synth_files(tmp, n_taxa=N_TAXA, sites=SITES,
                                       n_queries=N_QUERIES, seed=7)
-    # chunk + fused-topk matching the fused-step section's exact program
-    # signature, so this section adds NO device compiles after
-    # run_fused_step (or on a warmed persistent cache)
+    # chunk matches the fused-step section so most shapes are shared; the
+    # candidate budget stays at the engine default 16 — at 8 the higher
+    # saturation rate triggers wide-redo re-dispatches per chunk, which
+    # cost more in the synchronous finalize path than the wider step does
     args = ["--tree", tpath, "--ref-msa", rpath, "--query", qpath,
-            "-m", MODEL, "-w", tmp, "--redo", "--chunk-size", str(CHUNK),
-            "--fused-topk", str(TOPK)]
+            "-m", MODEL, "-w", tmp, "--redo", "--chunk-size", str(CHUNK)]
 
     stats = []
     import contextlib
@@ -263,13 +263,18 @@ def run_extra_configs():
                                  seed=23, n_patterns=256)
 
     def init_s(compress: bool) -> float:
-        t0 = _time.perf_counter()
-        eng = PlacementEngine(
-            tree, ref, Model.from_string(MODEL),
-            Options(compute_dtype="f32", pattern_compression=compress))
-        import jax as _jax
-        _jax.block_until_ready((eng.lookup_table, eng.blo.tU))
-        return _time.perf_counter() - t0
+        def once():
+            t0 = _time.perf_counter()
+            eng = PlacementEngine(
+                tree, ref, Model.from_string(MODEL),
+                Options(compute_dtype="f32", pattern_compression=compress))
+            import jax as _jax
+            _jax.block_until_ready((eng.lookup_table, eng.blo.tU))
+            return _time.perf_counter() - t0
+        # first call pays trace+compile (or cache load); report the warm
+        # init — the steady cost a long-running service / repeat runs see
+        once()
+        return once()
 
     full_s = init_s(False)
     comp_s = init_s(True)

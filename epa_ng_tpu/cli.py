@@ -518,5 +518,10 @@ def main(argv=None) -> int:
     return 0
 
 
+def entry() -> None:
+    """Console-script entry point (pyproject [project.scripts])."""
+    sys.exit(main())
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -547,12 +547,13 @@ class PlacementEngine:
         # wanted more candidates than the static budget (ignore the
         # padded replica rows beyond the real query count)
         saturated = (flags & 1) > 0
-        if saturated[:Qr].mean() > 0.2:
-            return None
-        # a live candidate the blocked kernel could not fit into its site
-        # window (block begin-spread wider than the planned static width)
-        # was not optimized -> that query re-runs exactly below
+        # a live candidate the blocked kernel did not optimize — site
+        # window misfit, or dropped by the dynamic pair-budget halving on
+        # a flat-posterior chunk — re-runs below; if redo would touch >20%
+        # of the chunk, one exact pass beats a storm of per-query redos
         misfit = (flags & 2) > 0
+        if (saturated | misfit)[:Qr].mean() > 0.2:
+            return None
         redo = np.nonzero((saturated | misfit)[:Qr])[0].tolist()
 
         # row q of the outputs is original query perm[q]; map every array

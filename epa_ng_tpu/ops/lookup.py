@@ -138,11 +138,12 @@ def preplace_scores_core(table, codes, begins, spans):
                         preferred_element_type=dtype, precision=_PP)
     rdt = resid.dtype
 
-    if Q * C * S * 4 <= 256 * 1024 * 1024:
+    if Q * C * S * jnp.dtype(rdt).itemsize <= 64 * 1024 * 1024:
         # one [Q, C*S] x [C*S, E] matmul: C separate [Q,S]x[S,E] matmuls
         # are too small to fill the MXU and serialize behind each other
         # (measured ~4x slower at bench shapes); the masked one-hot temp
-        # is affordable below ~256 MB
+        # is affordable below ~64 MB (long-alignment / huge-chunk shapes
+        # keep the O(Q*S)-memory segmented loop, tests/test_memory.py)
         oh = (codes[:, None, :] == jnp.arange(C)[None, :, None])
         oh = oh.astype(rdt) * in_range[:, None, :].astype(rdt)
         return scores + jnp.einsum(

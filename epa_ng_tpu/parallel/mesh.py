@@ -171,25 +171,37 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
         from epa_ng_tpu.ops.pallas_blo import (
             PB, blo_optimize_batch_pallas_blocked)
         B = Q * topk
-        n_blocks = -(-B // PB)
-        NP = n_blocks * PB
+        # dynamic-heuristic pair-budget halving: the accumulated-LWR cut
+        # leaves only ~25-50% of the static top-k pairs live (measured on
+        # bench workloads), and live pairs sort to the FRONT — so only the
+        # first half of the sorted pair list is gathered/transposed/
+        # dispatched. A live pair landing beyond the halved budget (a
+        # flat-posterior chunk) is flagged uncomputed and its query
+        # re-runs through the engine's redo/exact fallback, same as a
+        # window misfit. fixed/baseball budgets are exact (all pairs
+        # live), so they keep the full pair list.
+        if heur_mode == "dynamic":
+            NP = max(PB, B // 2 // PB * PB)
+        else:
+            NP = -(-B // PB) * PB
+        n_blocks = NP // PB
         Wb = block_width
         q_ids0 = jnp.repeat(jnp.arange(Q), topk)
         flat_valid = valid.reshape(-1)
         pb0 = begins[q_ids0].astype(jnp.int32)
         big = jnp.int32(1) << jnp.int32(24)
-        order = jnp.argsort(jnp.where(flat_valid, 0, big) + pb0)   # [B]
+        order_full = jnp.argsort(jnp.where(flat_valid, 0, big) + pb0)  # [B]
+        if NP <= B:
+            order = order_full[:NP]
+        else:
+            order = jnp.concatenate(
+                [order_full, jnp.repeat(order_full[-1:], NP - B)])
 
-        def padn(x):
-            if NP == B:
-                return x
-            return jnp.concatenate([x, jnp.repeat(x[-1:], NP - B)])
-
-        flat_e_p = padn(flat_e[order])
-        q_ids_p = padn(q_ids0[order])
-        pb_p = padn(pb0[order])
+        flat_e_p = flat_e[order]
+        q_ids_p = q_ids0[order]
+        pb_p = pb0[order]
         sp_p = spans[q_ids_p].astype(jnp.int32)
-        live_p = padn(flat_valid[order].astype(jnp.int32)) > 0
+        live_p = flat_valid[order]
         if NP > B:
             live_p = live_p.at[B:].set(False)
 
@@ -270,13 +282,17 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
             # seen in practice) re-place exactly via the engine fallback
             computed_pair = fits & (done_s | handled)
 
+        # scatter results back to [B] pair slots; slots never dispatched
+        # (budget-halved tail) keep computed == 0 -> misfit redo
+        m = min(NP, B)
+
         def unsort(x):
-            return jnp.zeros((B,), x.dtype).at[order].set(x[:B])
+            return jnp.zeros((B,), x.dtype).at[order[:m]].set(x[:m])
 
         logl = unsort(logl_s).reshape(Q, topk)
         pendant = unsort(pendant_s).reshape(Q, topk)
         distal = unsort(distal_s).reshape(Q, topk)
-        computed = unsort(computed_pair[:B].astype(dtype)).reshape(Q, topk)
+        computed = unsort(computed_pair.astype(dtype)).reshape(Q, topk)
         return _step_epilogue(top_edges, logl, pendant, distal, valid,
                               dtype, packed, computed=computed,
                               filter_cfg=filter_cfg,
