@@ -420,9 +420,15 @@ def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
         misfit = jnp.any(valid & ~(computed > 0), axis=1)
         flags = (saturated.astype(dtype)
                  + 2.0 * misfit.astype(dtype))[:, None]
-        flags = jnp.broadcast_to(flags, keep.shape)
-        return jnp.stack([edges_s.astype(dtype), logl_s, lwr_s, pend_s,
-                          dist_s, keep.astype(dtype), flags])
+        # at most filter_max rows survive per query and they sort to the
+        # front — transfer only those columns to the host (the [7, Q, k]
+        # result rides a ~20 MB/s tunnel in this environment)
+        kf = min(keep.shape[1], int(fmax))
+        sl = lambda x: x[:, :kf]
+        flags = jnp.broadcast_to(flags, (keep.shape[0], kf))
+        return jnp.stack([sl(edges_s).astype(dtype), sl(logl_s),
+                          sl(lwr_s), sl(pend_s), sl(dist_s),
+                          sl(keep).astype(dtype), flags])
 
     if packed:
         # one [7, Q, topk] array => a single device->host transfer
