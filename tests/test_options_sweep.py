@@ -110,3 +110,38 @@ def test_fused_equals_exact_all_heuristics(mode):
         for e in set(da) & set(db):
             assert da[e][0] == pytest.approx(db[e][0], abs=1e-6)
             assert da[e][1] == pytest.approx(db[e][1], abs=1e-6)
+
+
+def test_fused_flat_posterior_budget_fallback():
+    """Stresses the dynamic pair-budget halving (parallel.mesh): very
+    short uninformative reads give flat posteriors, so most queries keep
+    many of their top-k candidates — live pairs overflow the halved
+    dispatch budget and must come back through the misfit redo (or the
+    whole-chunk exact fallback), never silently dropped."""
+    import numpy as np
+
+    from epa_ng_tpu.io.fasta import MSA, Sequence
+    from epa_ng_tpu.utils.synth import synth_dataset
+
+    tree, ref, _ = synth_dataset(n_taxa=48, sites=192, n_queries=1, seed=9)
+    rng = np.random.default_rng(3)
+    seqs = []
+    for i in range(64):
+        # 6-site reads: barely informative -> near-uniform LWR over edges
+        start = int(rng.integers(0, 192 - 6))
+        s = ["-"] * 192
+        for j in range(start, start + 6):
+            s[j] = "ACGT"[rng.integers(0, 4)]
+        seqs.append(Sequence([f"F{i}"], "".join(s)))
+    qry = MSA(sequences=seqs, num_sites=192)
+
+    eng = PlacementEngine(tree, ref, Model.from_string("GTR+G"),
+                          Options(blo_block=64))
+    fused = eng.place_chunk(qry)
+    exact = eng._place_chunk_exact(eng.encode_msa(qry), 0)
+    assert len(fused) == len(exact) == 64
+    for a, b in zip(fused, exact):
+        np.testing.assert_allclose(np.sort(a.logls), np.sort(b.logls),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.sort(a.lwrs), np.sort(b.lwrs),
+                                   atol=1e-6)
