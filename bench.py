@@ -241,6 +241,30 @@ def run_extra_configs():
         "approx_hbm_gb_per_s": round(pairs / dt * bytes_per_pair * 2 / 1e9,
                                      1)}
 
+    # heuristic accuracy vs the exhaustive sweep (the reference's claim:
+    # preplacement "sacrifices only insignificant amounts of accuracy",
+    # README.md:179). Random synthetic queries make many edges
+    # near-equivalent, so raw top-edge agreement is tie-dominated (both
+    # here and in the reference — identical acc-LWR-over-preplacement
+    # semantics); the meaningful number is the LOGL SHORTFALL of the
+    # heuristic's best placement vs the exhaustive best. On the real
+    # test-data queries both paths agree exactly (asserted in tests).
+    from epa_ng_tpu.io.fasta import MSA as _MSA
+    sub = _MSA(sequences=qry.sequences[:512], num_sites=qry.num_sites)
+    pq_full = eng.place_chunk(sub)
+    eng.options.prescoring = True
+    pq_heur = eng.place_chunk(sub)
+    agree = sum(int(a.edge_nums[0] == b.edge_nums[0])
+                for a, b in zip(pq_heur, pq_full))
+    import numpy as _np
+    shortfall = _np.array([max(0.0, float(b.logls[0]) - float(a.logls[0]))
+                           for a, b in zip(pq_heur, pq_full)])
+    out["noheur"]["heur_top_edge_agreement"] = round(agree / len(pq_full), 4)
+    out["noheur"]["heur_logl_shortfall_mean"] = round(
+        float(shortfall.mean()), 4)
+    out["noheur"]["heur_logl_shortfall_max"] = round(
+        float(shortfall.max()), 4)
+
     # big tree: 2048 taxa = 4093 edges
     tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
                                    seed=19)

@@ -54,3 +54,17 @@ def test_sharded_equals_single(setup, n_dp, n_ep):
             assert (a == b).all(), name
         else:
             assert np.allclose(a, b, atol=1e-8), name
+
+
+def test_scaling_harness_smoke():
+    """parallel.scaling.measure runs end to end on the virtual CPU mesh
+    (throughput numbers are meaningless on CPU; this pins the harness
+    itself — sharded step construction, efficiency arithmetic, JSON
+    shape — so the multi-chip entry point can't rot)."""
+    from epa_ng_tpu.parallel import scaling
+    r = scaling.measure(n_devices=2, n_taxa=24, sites=96, n_queries=32)
+    assert r["metric"] == "scaling_efficiency"
+    assert r["devices"] == 2
+    assert r["unit"] == "efficiency"
+    assert r["qps_1dev"] > 0 and r["qps_ndev"] > 0
+    assert 0 < r["value"]
