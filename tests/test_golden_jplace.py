@@ -30,7 +30,8 @@ MODEL = "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}"
 AA_TREE = ("(Cow:0.2,((Chicken:0.3,(Human:0.25,Loach:0.45):0.1):0.05,"
            "(Mouse:0.15,(Seal:0.2,Whale:0.1):0.08):0.12):0.06,Frog:0.35);")
 
-CONFIGS = ["dna_heur", "dna_noheur", "dna_rooted", "aa_lg"]
+CONFIGS = ["dna_heur", "dna_noheur", "dna_rooted", "aa_lg",
+           "dna_baseball_prec4", "dna_fixheur_filters"]
 
 
 def config_args(name: str, workdir: str) -> list:
@@ -50,6 +51,17 @@ def config_args(name: str, workdir: str) -> list:
             f.write(AA_TREE + "\n")
         return ["-t", tree_file, "-s", f"{D}/AA_aln.fasta",
                 "-q", f"{D}/AA_query.fasta", "-m", "LG+G4{0.75}"]
+    if name == "dna_baseball_prec4":
+        # baseball heuristic + non-default output precision
+        return ["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+                "-q", f"{D}/query.fasta", "-m", MODEL,
+                "--baseball-heur", "--precision", "4"]
+    if name == "dna_fixheur_filters":
+        # fixed top-x% heuristic + min-LWR filter with wider clamps
+        return ["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+                "-q", f"{D}/query.fasta", "-m", MODEL,
+                "-G", "0.5", "--filter-min-lwr", "0.001",
+                "--filter-min", "2", "--filter-max", "10"]
     raise KeyError(name)
 
 
