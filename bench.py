@@ -382,6 +382,28 @@ def run_pallas_parity():
                        tQ, jnp.asarray(e_ids), jnp.asarray(q_ids),
                        jnp.asarray(begins), jnp.asarray(spans),
                        jnp.asarray(offs), Wb, newton.SMOOTHINGS)
+    # --- fused-vs-exact placement equality ON HARDWARE: the fused step's
+    # blocked branch (candidate compaction, pair-budget halving, misfit
+    # redo) only executes on a real TPU — CPU tests cover the XLA branch —
+    # so the cross-path equality gate must run here. Tie groups at the
+    # filter cutoff may swap edges; the kept LOGL multisets must agree.
+    pqs_fused = engine.place_chunk(msa)
+    pqs_exact = engine._place_chunk_exact(engine.encode_msa(msa), 0)
+    fe_rel = 0.0
+    for a, b in zip(pqs_fused, pqs_exact):
+        la = np.sort(np.asarray(a.logls))
+        lb = np.sort(np.asarray(b.logls))
+        n = min(len(la), len(lb))  # tie-group truncation can differ by 1
+        d = np.max(np.abs(la[-n:] - lb[-n:])
+                   / np.maximum(1.0, np.abs(lb[-n:])))
+        fe_rel = max(fe_rel, float(d))
+        assert a.edge_nums[0] == b.edge_nums[0] or (
+            abs(a.logls[0] - b.logls[0])
+            <= 1e-4 * max(1.0, abs(b.logls[0]))), (
+            f"fused/exact best-edge mismatch beyond tie tolerance: "
+            f"{a.edge_nums[0]} vs {b.edge_nums[0]}")
+    assert fe_rel <= 1e-4, f"fused/exact logl divergence on TPU: {fe_rel}"
+
     lx = np.asarray(xla[0])
     d_pal = float(np.max(np.abs(np.asarray(pal[0]) - lx)))
     d_blk = float(np.max(np.abs(np.asarray(blk[0]) - lx)))
@@ -399,7 +421,8 @@ def run_pallas_parity():
                     np.max(np.abs(np.asarray(blk[0]) - lx) / denom)))
     return {"parity": bool(rel <= 1e-4), "max_abs_diff": max_d,
             "max_rel_diff": rel,
-            "per_pair_vs_xla": d_pal, "blocked_vs_xla": d_blk}
+            "per_pair_vs_xla": d_pal, "blocked_vs_xla": d_blk,
+            "fused_exact_max_rel": fe_rel}
 
 
 def main():
@@ -467,6 +490,8 @@ def main():
                 result["pallas_parity"] = parity["parity"]
                 result["pallas_max_dlogl"] = round(parity["max_abs_diff"], 8)
                 result["pallas_max_rel"] = round(parity["max_rel_diff"], 10)
+                result["fused_exact_max_rel"] = round(
+                    parity["fused_exact_max_rel"], 10)
                 assert parity["parity"], (
                     f"Pallas/XLA divergence on hardware: {parity}")
             tick("parity", t0)
