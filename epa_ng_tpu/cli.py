@@ -150,6 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
                       help="Static candidate budget of the fused placement "
                            "step under the dynamic heuristic (TPU "
                            "extension; saturated queries re-run wider).")
+    comp.add_argument("--mesh", default=None, metavar="DPxEP",
+                      help="Shard this process' placement over a local "
+                           "device mesh, e.g. 4x2: queries data-parallel "
+                           "over DP chips, lookup/BLO tensors edge-"
+                           "sharded over EP chips (big-tree HBM "
+                           "scaling; TPU extension).")
     comp.add_argument("--distributed", nargs="?", const="auto", default=None,
                       metavar="COORD,N,IDX",
                       help="Initialize jax.distributed for a multi-host "
@@ -428,6 +434,17 @@ def main(argv=None) -> int:
         log.error("Must supply query file! Combined MSA files not currently "
                   "supported, please split them and specify using -s and -q.")
         return 1
+
+    if args.mesh:
+        # shard this process' placement over a local device mesh
+        from epa_ng_tpu.parallel.mesh import make_mesh
+        try:
+            dp_s, ep_s = args.mesh.lower().split("x", 1)
+            dp, ep = int(dp_s), int(ep_s)
+        except ValueError:
+            log.error("Bad --mesh spec %r (want DPxEP, e.g. 4x2)", args.mesh)
+            return 1
+        engine.attach_mesh(make_mesh(dp, ep, jax.local_devices()))
 
     # --- placement loop (the analog of simple_mpi, src/core/place.cpp:173)
     from epa_ng_tpu.io.jplace import JplaceWriter

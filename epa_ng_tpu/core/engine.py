@@ -153,7 +153,45 @@ class PlacementEngine:
         self._finish_init()
         return self
 
+    def attach_mesh(self, mesh):
+        """Shard the reference state over a (dp, ep) ``jax.sharding.Mesh``
+        for multi-chip execution (CLI: ``--mesh DPxEP``): queries ride the
+        ``dp`` axis, the lookup table and BLO store shard over ``ep`` so
+        trees whose tensors exceed one chip's HBM spread across the slice
+        (the multi-chip answer to the reference's -b paging,
+        src/tree/Tree.cpp:80-117). The fused dispatch, wide redo and
+        preplacement then run against the sharded tensors under GSPMD
+        (XLA Newton kernel; the Pallas kernel is single-device); the rare
+        exact-redo fallback gathers per-pair windows from HOST copies of
+        the BLO store, so no full-size device replica survives."""
+        from epa_ng_tpu.parallel.mesh import ShardedPlacement
+        if self.options.pallas == "on":
+            raise ValueError("pallas=on is incompatible with --mesh "
+                             "(the Pallas kernel is single-device)")
+        if self.options.memsave:
+            raise ValueError("--mesh and --memsave are mutually exclusive")
+        dp = mesh.shape["dp"]
+        if dp & (dp - 1):
+            raise ValueError("mesh dp axis must be a power of two")
+        blo = self.blo
+        # host fallback copies for the exact-redo path (host RAM, not HBM)
+        self._tU_np = np.asarray(blo.tU)
+        self._tV_np = np.asarray(blo.tV)
+        self._ls_np = np.asarray(blo.ls)
+        self._lengths_np = np.asarray(blo.lengths)
+        # borrow the out-of-core window gather for the host fallback
+        from epa_ng_tpu.core.memsave import OutOfCoreEngine
+        self._gather_windows = OutOfCoreEngine._gather_windows.__get__(self)
+        self._sharded = ShardedPlacement(self, mesh)
+        # free the unsharded device copies; everything device-side now
+        # goes through self._sharded
+        self._lookup_table = None
+        self._blo = None
+        log.info("Attached %dx%d (dp x ep) device mesh",
+                 dp, mesh.shape["ep"])
+
     def _finish_init(self, ref_logl: Optional[float] = None):
+        self._sharded = None
         # sanity check: finite reference-tree log-likelihood
         # (reference: src/tree/Tree.cpp:49-53)
         self.ref_tree_logl = (float(self._reference_logl())
@@ -314,7 +352,7 @@ class PlacementEngine:
         """Dispatch the Newton stage to the Pallas kernel? Single-device
         TPU, DNA, pinv=0, f32, sliding mode only."""
         opt = self.options.pallas
-        if opt == "off":
+        if opt == "off" or self._sharded is not None:
             return False
         from epa_ng_tpu.ops import pallas_blo
         ok = (pallas_blo.blo_supported(self.consts, width,
@@ -359,6 +397,10 @@ class PlacementEngine:
 
     def preplace(self, codes, ranges) -> np.ndarray:
         """[Q, E] preplacement scores."""
+        if self._sharded is not None:
+            return self._sharded.preplace(
+                jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
+                jnp.asarray(ranges[:, 1]))
         scores = lookup.preplace_scores(
             self.lookup_table, jnp.asarray(codes),
             jnp.asarray(ranges[:, 0]), jnp.asarray(ranges[:, 1]))
@@ -486,14 +528,34 @@ class PlacementEngine:
         while Qp < Qr:
             Qp *= 2
         Qp = max(Qr, min(Qp, opts.chunk_size))
+        if self._sharded is not None:
+            # dp-sharded queries need a divisible batch dimension
+            dp = self._sharded.mesh.shape["dp"]
+            Qp = -(-Qp // dp) * dp
         if Qp > Qr:
             pad = Qp - Qr
             codes = np.concatenate([codes, np.repeat(codes[-1:], pad, 0)])
             ranges = np.concatenate([ranges, np.repeat(ranges[-1:], pad, 0)])
         tQ, invq = self._query_tensors_codes(codes)
-        blo = self.blo
         topk = self._fused_budget(heur_mode) if topk is None else topk
         W = chunk_site_width(ranges[:, 1], S)
+        fcfg = (opts.acc_threshold, max(1, opts.filter_min),
+                opts.filter_max)
+        fthresh = jnp.asarray(opts.support_threshold, self.dtype)
+        if self._sharded is not None:
+            out = self._sharded.fused_step(
+                jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
+                jnp.asarray(ranges[:, 1]), tQ, invq,
+                topk=topk, sliding=opts.sliding_blo, site_width=W,
+                filter_cfg=fcfg, filter_threshold=fthresh,
+                heur_mode=heur_mode)
+            return {
+                "ec": ec, "out": out, "perm": perm, "Qr": Qr,
+                "codes": codes, "ranges": ranges,
+                "tQ": tQ, "invq": invq, "seq_id_offset": seq_id_offset,
+                "heur_mode": heur_mode,
+            }
+        blo = self.blo
         Wb = None
         if self._use_pallas(W):
             # only the static window WIDTH is planned host-side; the
@@ -513,9 +575,8 @@ class PlacementEngine:
             topk=topk, sliding=opts.sliding_blo,
             site_width=W, packed=True, use_pallas=self._use_pallas(W),
             block_width=Wb,
-            filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
-                        opts.filter_max),
-            filter_threshold=jnp.asarray(opts.support_threshold, self.dtype),
+            filter_cfg=fcfg,
+            filter_threshold=fthresh,
             heur_mode=heur_mode)
         return {
             "ec": ec, "out": out, "perm": perm, "Qr": Qr,
@@ -624,11 +685,26 @@ class PlacementEngine:
         Qp = 8
         while Qp < n_redo:
             Qp *= 2
+        if self._sharded is not None:
+            Qp = max(Qp, self._sharded.mesh.shape["dp"])
         idx = np.asarray(redo + [redo[-1]] * (Qp - n_redo))
         sub_r = ranges[idx]
         W2 = chunk_site_width(sub_r[:, 1], self.num_sites)
-        blo = self.blo
         idx_j = jnp.asarray(idx)
+        if self._sharded is not None:
+            out = self._sharded.fused_step(
+                jnp.asarray(codes[idx]), jnp.asarray(sub_r[:, 0]),
+                jnp.asarray(sub_r[:, 1]), tQ[idx_j], invq[idx_j],
+                topk=k2, sliding=opts.sliding_blo, site_width=W2,
+                filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
+                            opts.filter_max),
+                filter_threshold=jnp.asarray(opts.support_threshold,
+                                             self.dtype),
+                heur_mode=heur_mode)
+            return self._redo_wide_finish(out, redo, n_redo, k2, codes,
+                                          ranges, tQ, invq, perm, headers,
+                                          seq_id_offset)
+        blo = self.blo
         # the redo rows are a subset of the begin-sorted chunk, so the
         # blocked Pallas path's window assumption holds; at the 16x
         # candidate budget the XLA fallback costs ~1s of lock-step Newton
@@ -652,6 +728,13 @@ class PlacementEngine:
             filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
                         opts.filter_max),
             filter_threshold=jnp.asarray(opts.support_threshold, self.dtype))
+        return self._redo_wide_finish(out, redo, n_redo, k2, codes, ranges,
+                                      tQ, invq, perm, headers,
+                                      seq_id_offset)
+
+    def _redo_wide_finish(self, out, redo, n_redo, k2, codes, ranges, tQ,
+                          invq, perm, headers, seq_id_offset) -> list:
+        """Shared sync half of the wide redo (single-device and mesh)."""
         out = np.asarray(out)
         edges2 = out[0].astype(np.int64)
         keep2 = out[5] > 0.5
@@ -721,6 +804,13 @@ class PlacementEngine:
         (rounded up to powers of two) and each bucket computes only a
         site-window of that width — the TPU analog of the reference's
         premasking/``shift_partition_focus`` payoff on short reads."""
+        if self._sharded is not None:
+            # mesh mode: the BLO store lives sharded across devices; the
+            # rare exact-redo batches gather per-pair windows from the
+            # HOST fallback copies instead (memsave machinery)
+            from epa_ng_tpu.core.memsave import OutOfCoreEngine
+            return OutOfCoreEngine._thorough(self, pair_e, pair_q, codes,
+                                             ranges, qt)
         opts = self.options
         S = self.num_sites
         P = len(pair_e)

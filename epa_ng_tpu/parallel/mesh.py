@@ -439,12 +439,19 @@ def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
 
 class ShardedPlacement:
     """Places the engine's tensors on a (dp, ep) mesh and runs the fused
-    placement step with sharded inputs/outputs."""
+    placement step with sharded inputs/outputs.
+
+    Queries ride ``dp`` (data parallel), the lookup table and BLO store
+    shard over ``ep`` (edge/model parallel — the multi-chip answer to
+    trees whose tensors exceed one chip's HBM). The Newton stage runs the
+    XLA kernel under GSPMD (the Pallas kernel is single-device; a
+    shard_map wrapper is future work)."""
 
     def __init__(self, engine, mesh: Mesh, topk: int = 8):
         self.engine = engine
         self.mesh = mesh
         self.topk = topk
+        self.num_edges = engine.num_edges
 
         edge_sh = NamedSharding(mesh, P("ep"))
         repl = NamedSharding(mesh, P())
@@ -490,6 +497,41 @@ class ShardedPlacement:
                         self.tU.dtype),
             topk=self.topk, sliding=self.engine.options.sliding_blo,
             site_width=chunk_site_width(spans, self.tU.shape[2]))
+
+    def fused_step(self, codes, begins, spans, tQ, invq, *, topk: int,
+                   sliding: bool, site_width: int, filter_cfg,
+                   filter_threshold, heur_mode: str):
+        """The engine's full fused dispatch (packed + device-side filter)
+        over the mesh — the sharded twin of the single-device call in
+        PlacementEngine._dispatch_chunk_fused."""
+        put = partial(jax.device_put, device=self.qspec)
+        return placement_step(
+            self.consts, self.table, self.tU, self.tV, self.ls,
+            self.lengths, put(codes), put(begins), put(spans), put(tQ),
+            put(invq),
+            jnp.asarray(self.engine.options.prescoring_threshold,
+                        self.tU.dtype),
+            topk=topk, sliding=sliding, site_width=site_width,
+            packed=True, use_pallas=False, block_width=None,
+            filter_cfg=filter_cfg, filter_threshold=filter_threshold,
+            heur_mode=heur_mode)
+
+    def preplace(self, codes, begins, spans) -> np.ndarray:
+        """[Q, E] preplacement scores computed against the ep-sharded
+        table (exact-path entry in mesh mode); pads the query batch to a
+        dp multiple and drops the pad edges/rows."""
+        Q = codes.shape[0]
+        dp = self.mesh.shape["dp"]
+        Qp = -(-Q // dp) * dp
+        if Qp != Q:
+            rep = lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], Qp - Q, axis=0)])
+            codes, begins, spans = rep(codes), rep(begins), rep(spans)
+        put = partial(jax.device_put, device=self.qspec)
+        from epa_ng_tpu.ops.lookup import preplace_scores
+        scores = preplace_scores(self.table, put(codes), put(begins),
+                                 put(spans))
+        return np.asarray(scores)[:Q, :self.num_edges]
 
 
 def chunk_site_width(spans, num_sites: int) -> int:

@@ -68,3 +68,70 @@ def test_scaling_harness_smoke():
     assert r["unit"] == "efficiency"
     assert r["qps_1dev"] > 0 and r["qps_ndev"] > 0
     assert 0 < r["value"]
+
+
+def test_attach_mesh_engine_equals_plain():
+    """engine.attach_mesh: the full engine path (fused dispatch ->
+    finalize -> redo fallbacks) over a (dp x ep) mesh must place
+    identically to the plain single-device engine. fused_topk=4 forces
+    some budget-saturated queries through the sharded wide redo and the
+    host-window exact fallback."""
+    from epa_ng_tpu.io.fasta import MSA, Sequence
+
+    tree, ref, qry = synth_dataset(n_taxa=32, sites=128, n_queries=24,
+                                   seed=21)
+    rng = np.random.default_rng(5)
+    # a few barely-informative reads -> flat posteriors -> redo coverage
+    for i in range(8):
+        start = int(rng.integers(0, 120))
+        s = ["-"] * 128
+        for j in range(start, start + 8):
+            s[j] = "ACGT"[rng.integers(0, 4)]
+        qry.sequences.append(Sequence([f"F{i}"], "".join(s)))
+    msa = MSA(sequences=qry.sequences, num_sites=qry.num_sites)
+    model = "GTR{1.3/2.2/0.9/1.4/3.8/1}+FU{0.26/0.24/0.25/0.25}+G4{0.9}"
+
+    plain = PlacementEngine(tree, ref, Model.from_string(model),
+                            Options(blo_block=64, fused_topk=4))
+    pq_plain = plain.place_chunk(msa)
+
+    meshed = PlacementEngine(tree, ref, Model.from_string(model),
+                             Options(blo_block=64, fused_topk=4))
+    meshed.attach_mesh(make_mesh(4, 2))
+    pq_mesh = meshed.place_chunk(msa)
+
+    assert len(pq_plain) == len(pq_mesh)
+    for a, b in zip(pq_mesh, pq_plain):
+        assert a.seq_id == b.seq_id
+        np.testing.assert_allclose(np.sort(a.logls), np.sort(b.logls),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.sort(a.lwrs), np.sort(b.lwrs),
+                                   atol=1e-9)
+        assert a.edge_nums[0] == b.edge_nums[0]
+
+
+def test_cli_mesh_equals_plain(tmp_path):
+    """--mesh 4x2 end to end through the CLI: identical jplace (modulo
+    the invocation line) to the un-meshed run."""
+    import json
+
+    from epa_ng_tpu.cli import main
+    D = "/root/reference/test/data"
+    MODEL = "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}"
+    a = tmp_path / "plain"
+    b = tmp_path / "mesh"
+    a.mkdir()
+    b.mkdir()
+    base = ["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+            "-q", f"{D}/query.fasta", "-m", MODEL, "--redo"]
+    assert main(base + ["-w", str(a) + "/"]) == 0
+    assert main(base + ["-w", str(b) + "/", "--mesh", "4x2"]) == 0
+    da = json.load(open(a / "epa_result.jplace"))
+    db = json.load(open(b / "epa_result.jplace"))
+    assert da["tree"] == db["tree"]
+    pa = {tuple(p["n"]): p["p"] for p in da["placements"]}
+    pb = {tuple(p["n"]): p["p"] for p in db["placements"]}
+    assert pa.keys() == pb.keys()
+    for k in pa:
+        for ra, rb in zip(pa[k], pb[k]):
+            assert ra == pytest.approx(rb, abs=1e-9)
