@@ -167,6 +167,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_mesh_spec(spec: str) -> tuple:
+    """'DPxEP' -> (dp, ep), both >= 1."""
+    try:
+        dp_s, ep_s = spec.lower().split("x", 1)
+        dp, ep = int(dp_s), int(ep_s)
+    except ValueError:
+        raise ValueError("want DPxEP, e.g. 4x2") from None
+    if dp < 1 or ep < 1:
+        raise ValueError("dp and ep must be >= 1")
+    return dp, ep
+
+
 def maybe_init_distributed(spec: Optional[str]):
     """jax.distributed.initialize() from --distributed / env. Must run
     before any other jax usage (it selects the global device topology)."""
@@ -361,12 +373,27 @@ def main(argv=None) -> int:
     else:
         engine_cls = PlacementEngine
 
+    # under --mesh the reference state is BUILT on the CPU backend (host
+    # RAM) and only its ep-SHARDS ever reach device HBM (attach_mesh) —
+    # otherwise a tree whose tensors exceed one chip would OOM during
+    # init, before sharding could help (the very case --mesh exists for)
+    import contextlib
+    build_ctx = contextlib.nullcontext()
+    if args.mesh:
+        try:
+            _parse_mesh_spec(args.mesh)
+        except ValueError as e:
+            log.error("Bad --mesh %r: %s", args.mesh, e)
+            return 1
+        build_ctx = jax.default_device(jax.devices("cpu")[0])
+
     # --- build or load the reference state
     if options.load_binary_mode:
         from epa_ng_tpu.io.binary import load_binary
         log.info("Loading from binary: %s", args.binary)
-        engine = load_binary(args.binary, options,
-                             engine_cls=engine_cls)
+        with build_ctx:
+            engine = load_binary(args.binary, options,
+                                 engine_cls=engine_cls)
         tree = engine.tree
         qry_info = fio.make_msa_info(args.query) if args.query else None
         if options.premasking:
@@ -419,7 +446,8 @@ def main(argv=None) -> int:
                            dtype=(jnp.float64
                                   if options.compute_dtype == "f64"
                                   else jnp.float32))
-        engine = engine_cls(tree, ref_msa, model, options)
+        with build_ctx:
+            engine = engine_cls(tree, ref_msa, model, options)
 
         if options.dump_binary_mode:
             from epa_ng_tpu.io.binary import dump_binary
@@ -439,12 +467,11 @@ def main(argv=None) -> int:
         # shard this process' placement over a local device mesh
         from epa_ng_tpu.parallel.mesh import make_mesh
         try:
-            dp_s, ep_s = args.mesh.lower().split("x", 1)
-            dp, ep = int(dp_s), int(ep_s)
-        except ValueError:
-            log.error("Bad --mesh spec %r (want DPxEP, e.g. 4x2)", args.mesh)
+            dp, ep = _parse_mesh_spec(args.mesh)
+            engine.attach_mesh(make_mesh(dp, ep, jax.local_devices()))
+        except ValueError as e:
+            log.error("Bad --mesh %r: %s", args.mesh, e)
             return 1
-        engine.attach_mesh(make_mesh(dp, ep, jax.local_devices()))
 
     # --- placement loop (the analog of simple_mpi, src/core/place.cpp:173)
     from epa_ng_tpu.io.jplace import JplaceWriter

@@ -64,12 +64,10 @@ class PlacementEngine:
             raise ValueError(
                 "p-inv is not supported together with matrix-mixture "
                 "models (LG4M/LG4X)")
+        masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
         if model.empirical_base_freqs:
-            masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
             model.base_freqs = empirical_frequencies(masks, model.num_states)
             log.info("Using empirical base frequencies: %s", model.base_freqs)
-
-        masks = clv_ops.tip_state_masks(tree, ref_msa, model.num_states)
 
         # invariant-site machinery (only materialized when pinv > 0).
         # Must run BEFORE eigen.decompose: the decomposition snapshots
@@ -183,10 +181,15 @@ class PlacementEngine:
         from epa_ng_tpu.core.memsave import OutOfCoreEngine
         self._gather_windows = OutOfCoreEngine._gather_windows.__get__(self)
         self._sharded = ShardedPlacement(self, mesh)
-        # free the unsharded device copies; everything device-side now
-        # goes through self._sharded
+        # free the unsharded copies; everything device-side now goes
+        # through self._sharded. The CLI builds the engine on the CPU
+        # backend under --mesh (host RAM holds the full tensors, only
+        # shards reach HBM); the small per-chunk tensors (consts, query
+        # tip transforms) move to the accelerator here.
         self._lookup_table = None
         self._blo = None
+        self.consts = jax.device_put(self.consts)
+        self._char_clvs = jax.device_put(self._char_clvs)
         log.info("Attached %dx%d (dp x ep) device mesh",
                  dp, mesh.shape["ep"])
 

@@ -23,8 +23,10 @@ _tried = False
 
 
 def _native_dir() -> str:
-    return os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "native")
+    # the C++ source ships INSIDE the package (epa_ng_tpu/native/) so
+    # installed wheels carry it and build the scanner on demand
+    return os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "native")
 
 
 def _build(src: str, out: str) -> bool:

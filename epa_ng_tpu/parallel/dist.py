@@ -56,15 +56,26 @@ def merge_jplace_shards(outdir: str, out_file: str, count: int,
             f"{outdir!r} — a worker process died or wrote to a different "
             "--tmp directory; refusing to emit a partial result")
     final = os.path.join(final_dir or outdir, out_file)
-    with open(final, "w") as out:
-        write_header(out, tree_string)
-        wrote_any = False
-        for i in range(count):
-            shard = os.path.join(outdir, f"{out_file}.shard{i}")
-            with open(shard) as f:
-                content = f.read()
-            count_file = shard + ".count"
-            if os.path.exists(count_file):
+    # write to a temp name and rename on success: a verification failure
+    # below must not leave a half-written document at the result path
+    tmp_final = final + ".merging"
+    try:
+        with open(tmp_final, "w") as out:
+            write_header(out, tree_string)
+            wrote_any = False
+            for i in range(count):
+                shard = os.path.join(outdir, f"{out_file}.shard{i}")
+                with open(shard) as f:
+                    content = f.read()
+                count_file = shard + ".count"
+                if not os.path.exists(count_file):
+                    # the sidecar is written by JplaceWriter.close(): its
+                    # absence means the rank died mid-run (or the file is
+                    # foreign) — the shard's completeness is unverifiable
+                    raise RuntimeError(
+                        f"jplace merge: shard {i} has no .count sidecar "
+                        "(worker crashed before closing its writer?); "
+                        "refusing to emit a possibly-partial result")
                 with open(count_file) as cf:
                     expected = int(cf.read().strip() or "0")
                 # every pquery fragment carries exactly one "n" name list
@@ -73,13 +84,18 @@ def merge_jplace_shards(outdir: str, out_file: str, count: int,
                     raise RuntimeError(
                         f"jplace merge: shard {i} is truncated: has {got} "
                         f"pqueries, its writer recorded {expected}")
-            if not content:
-                continue
-            if wrote_any:
-                out.write(",\n")
-            out.write(content)
-            wrote_any = True
-        out.write(_trailer(invocation))
+                if not content:
+                    continue
+                if wrote_any:
+                    out.write(",\n")
+                out.write(content)
+                wrote_any = True
+            out.write(_trailer(invocation))
+        os.replace(tmp_final, final)
+    except BaseException:
+        if os.path.exists(tmp_final):
+            os.remove(tmp_final)
+        raise
     for i in range(count):
         for path in (os.path.join(outdir, f"{out_file}.shard{i}"),
                      os.path.join(outdir, f"{out_file}.shard{i}.count")):

@@ -422,8 +422,10 @@ def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
                  + 2.0 * misfit.astype(dtype))[:, None]
         # at most filter_max rows survive per query and they sort to the
         # front — transfer only those columns to the host (the [7, Q, k]
-        # result rides a ~20 MB/s tunnel in this environment)
-        kf = min(keep.shape[1], int(fmax))
+        # result rides a ~20 MB/s tunnel in this environment). At least
+        # one column always ships: the engine reads flags from column 0,
+        # and a filter_max of 0 just keeps nothing (keep all-False).
+        kf = max(1, min(keep.shape[1], int(fmax)))
         sl = lambda x: x[:, :kf]
         flags = jnp.broadcast_to(flags, (keep.shape[0], kf))
         return jnp.stack([sl(edges_s).astype(dtype), sl(logl_s),

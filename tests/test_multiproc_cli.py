@@ -181,3 +181,18 @@ def test_real_jax_distributed_two_procs(tmp_path):
     assert names == ["Carp", "Rat"]
     assert (outdir / "0.epa_info.log").exists()
     assert (outdir / "1.epa_info.log").exists()
+
+
+def test_merge_raises_on_missing_sidecar(tmp_path):
+    """A shard without its .count sidecar (rank died before closing its
+    writer) is unverifiable -> merge refuses; and the failed merge leaves
+    NO partial document at the result path (atomic temp+rename)."""
+    from epa_ng_tpu.parallel.dist import merge_jplace_shards
+    frag = ('    {"p": [\n      [0, -1.0, 1.0, 0.1, 0.1]\n      ],\n'
+            '    "n": ["q1"]\n    }')
+    (tmp_path / "epa_result.jplace.shard0").write_text(frag)
+    with pytest.raises(RuntimeError, match="sidecar"):
+        merge_jplace_shards(str(tmp_path), "epa_result.jplace", 1,
+                            "(a,b);", "inv")
+    assert not (tmp_path / "epa_result.jplace").exists()
+    assert not (tmp_path / "epa_result.jplace.merging").exists()
