@@ -196,3 +196,47 @@ def test_merge_raises_on_missing_sidecar(tmp_path):
                             "(a,b);", "inv")
     assert not (tmp_path / "epa_result.jplace").exists()
     assert not (tmp_path / "epa_result.jplace.merging").exists()
+
+
+def test_two_rank_with_local_mesh(tmp_path):
+    """--mesh composes with multi-host query sharding: two ranks, each
+    running its shard over a local 2x2 device mesh, merge to the same
+    document as a plain single run."""
+    import subprocess
+    import sys as _sys
+
+    outdir = tmp_path / "meshdist"
+    outdir.mkdir()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=4").strip()
+    # rank 1 first, then rank 0 (the env-override mode has no real
+    # barrier, and rank 0's merge requires rank 1's shard to exist —
+    # real runs synchronize via jax.distributed)
+    for rank in (1, 0):
+        e = dict(env)
+        e["EPA_NG_TPU_PROCESS_INDEX"] = str(rank)
+        e["EPA_NG_TPU_PROCESS_COUNT"] = "2"
+        p = subprocess.run(
+            [_sys.executable, "-m", "epa_ng_tpu.cli",
+             "-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+             "-q", f"{D}/query.fasta", "-m", MODEL,
+             "-w", str(outdir) + "/", "--redo", "--mesh", "2x2"],
+            env=e, cwd="/root/repo", timeout=540,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        assert p.returncode == 0, p.stdout.decode()[-3000:]
+
+    single = tmp_path / "single"
+    single.mkdir()
+    assert main(["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+                 "-q", f"{D}/query.fasta", "-m", MODEL,
+                 "-w", str(single) + "/", "--redo"]) == 0
+    a = json.load(open(single / "epa_result.jplace"))
+    b = json.load(open(outdir / "epa_result.jplace"))
+    pa = {tuple(p["n"]): p["p"] for p in a["placements"]}
+    pb = {tuple(p["n"]): p["p"] for p in b["placements"]}
+    assert pa.keys() == pb.keys()
+    for k in pa:
+        for ra, rb in zip(pa[k], pb[k]):
+            assert ra == pytest.approx(rb, abs=1e-9)
