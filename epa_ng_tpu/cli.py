@@ -380,8 +380,20 @@ def main(argv=None) -> int:
     import contextlib
     build_ctx = contextlib.nullcontext()
     if args.mesh:
+        # every knowable incompatibility is checked BEFORE the (possibly
+        # minutes-long) reference-state build, not after it
         try:
-            _parse_mesh_spec(args.mesh)
+            dp, ep = _parse_mesh_spec(args.mesh)
+            if dp & (dp - 1):
+                raise ValueError("dp must be a power of two")
+            n_local = len(jax.local_devices())
+            if dp * ep > n_local:
+                raise ValueError(
+                    f"{dp}x{ep} needs {dp * ep} local devices, "
+                    f"have {n_local}")
+            if options.memsave:
+                raise ValueError("--mesh and --memsave are mutually "
+                                 "exclusive")
         except ValueError as e:
             log.error("Bad --mesh %r: %s", args.mesh, e)
             return 1

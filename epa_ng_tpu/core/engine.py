@@ -177,9 +177,6 @@ class PlacementEngine:
         self._tV_np = np.asarray(blo.tV)
         self._ls_np = np.asarray(blo.ls)
         self._lengths_np = np.asarray(blo.lengths)
-        # borrow the out-of-core window gather for the host fallback
-        from epa_ng_tpu.core.memsave import OutOfCoreEngine
-        self._gather_windows = OutOfCoreEngine._gather_windows.__get__(self)
         self._sharded = ShardedPlacement(self, mesh)
         # free the unsharded copies; everything device-side now goes
         # through self._sharded. The CLI builds the engine on the CPU
@@ -694,15 +691,15 @@ class PlacementEngine:
         sub_r = ranges[idx]
         W2 = chunk_site_width(sub_r[:, 1], self.num_sites)
         idx_j = jnp.asarray(idx)
+        fcfg = (opts.acc_threshold, max(1, opts.filter_min),
+                opts.filter_max)
+        fthresh = jnp.asarray(opts.support_threshold, self.dtype)
         if self._sharded is not None:
             out = self._sharded.fused_step(
                 jnp.asarray(codes[idx]), jnp.asarray(sub_r[:, 0]),
                 jnp.asarray(sub_r[:, 1]), tQ[idx_j], invq[idx_j],
                 topk=k2, sliding=opts.sliding_blo, site_width=W2,
-                filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
-                            opts.filter_max),
-                filter_threshold=jnp.asarray(opts.support_threshold,
-                                             self.dtype),
+                filter_cfg=fcfg, filter_threshold=fthresh,
                 heur_mode=heur_mode)
             return self._redo_wide_finish(out, redo, n_redo, k2, codes,
                                           ranges, tQ, invq, perm, headers,
@@ -728,9 +725,7 @@ class PlacementEngine:
             topk=k2, sliding=opts.sliding_blo, site_width=W2, packed=True,
             use_pallas=Wb2 is not None, block_width=Wb2,
             heur_mode=heur_mode,
-            filter_cfg=(opts.acc_threshold, max(1, opts.filter_min),
-                        opts.filter_max),
-            filter_threshold=jnp.asarray(opts.support_threshold, self.dtype))
+            filter_cfg=fcfg, filter_threshold=fthresh)
         return self._redo_wide_finish(out, redo, n_redo, k2, codes, ranges,
                                       tQ, invq, perm, headers,
                                       seq_id_offset)
@@ -810,10 +805,10 @@ class PlacementEngine:
         if self._sharded is not None:
             # mesh mode: the BLO store lives sharded across devices; the
             # rare exact-redo batches gather per-pair windows from the
-            # HOST fallback copies instead (memsave machinery)
-            from epa_ng_tpu.core.memsave import OutOfCoreEngine
-            return OutOfCoreEngine._thorough(self, pair_e, pair_q, codes,
-                                             ranges, qt)
+            # HOST fallback copies instead (shared with --memsave)
+            from epa_ng_tpu.core.memsave import host_window_thorough
+            return host_window_thorough(self, pair_e, pair_q, codes,
+                                        ranges, qt)
         opts = self.options
         S = self.num_sites
         P = len(pair_e)

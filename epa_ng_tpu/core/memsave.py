@@ -129,89 +129,101 @@ class OutOfCoreEngine(PlacementEngine):
 
     # -- thorough placement over host-gathered windows ------------------
 
-    def _gather_windows(self, pair_e, pair_q, win_begin, W, tQ, invq):
-        """Host-side per-pair site-window gathers of the BLO tensors."""
-        RK = self._tU_np.shape[1]
-        K = tQ.shape[1]
-        cols = win_begin[:, None] + np.arange(W)[None, :]       # [P, W]
-        e_ix = pair_e[:, None, None]
-        tu = self._tU_np[e_ix, np.arange(RK)[None, :, None], cols[:, None, :]]
-        tv = self._tV_np[e_ix, np.arange(RK)[None, :, None], cols[:, None, :]]
-        q_ix = pair_q[:, None, None]
-        tq = tQ[q_ix, np.arange(K)[None, :, None], cols[:, None, :]]
-        l = self._ls_np[pair_e[:, None], cols]
-        iv = invq[pair_q[:, None], cols]
-        return tu, tv, tq, l, iv
-
     def _thorough(self, pair_e, pair_q, codes, ranges, qt=None):
-        opts = self.options
-        S = self.num_sites
-        P = len(pair_e)
-        tQ, invq = qt if qt is not None else self._query_tensors_codes(codes)
-        tQ = np.asarray(tQ)
-        invq = np.asarray(invq)
-
-        begins = ranges[:, 0].astype(np.int32)
-        spans = ranges[:, 1].astype(np.int32)
-
-        def bucket_width(span: int) -> int:
-            w = 64
-            while w < span:
-                w *= 2
-            return min(w, S)
-
-        widths = np.asarray([bucket_width(int(spans[q])) for q in pair_q])
-        out_logl = np.zeros(P)
-        out_pendant = np.zeros(P)
-        out_distal = np.zeros(P)
-
-        def run(idx: np.ndarray, cap: int) -> np.ndarray:
-            done_out = np.zeros(P, dtype=bool)
-            blk = 256
-            while blk < min(len(idx), opts.blo_block):
-                blk *= 2
-            order = idx[np.argsort(widths[idx], kind="stable")]
-            for W in np.unique(widths[idx]):
-                widx = order[widths[order] == W]
-                for start in range(0, len(widx), blk):
-                    sel = widx[start:start + blk]
-                    n = len(sel)
-                    pad = np.concatenate([sel, np.repeat(sel[-1:], blk - n)])
-                    pe = pair_e[pad]
-                    pq = pair_q[pad]
-                    wb = np.minimum(begins[pq], S - W).astype(np.int32)
-                    tu, tv, tq, l, iv = self._gather_windows(
-                        pe, pq, wb, int(W), tQ, invq)
-                    local = begins[pq] - wb
-                    site = np.arange(W)[None, :]
-                    mask = ((site >= local[:, None])
-                            & (site < (local + spans[pq])[:, None]))
-                    res = _newton_windows(
-                        self.consts, jnp.asarray(tu), jnp.asarray(tv),
-                        jnp.asarray(tq), jnp.asarray(l),
-                        jnp.asarray(mask.astype(tu.dtype)),
-                        jnp.asarray(self._lengths_np[pe]), jnp.asarray(iv),
-                        opts.sliding_blo, cap)
-                    logl, pendant, distal_rep, _, _, done = res
-                    out_logl[sel] = np.asarray(logl)[:n]
-                    out_pendant[sel] = np.asarray(pendant)[:n]
-                    out_distal[sel] = np.asarray(distal_rep)[:n]
-                    done_out[sel] = np.asarray(done)[:n]
-            return done_out
-
-        all_idx = np.arange(P)
-        phase1 = min(opts.blo_phase1_smoothings, opts.max_blo_iters)
-        done = run(all_idx, phase1)
-        redo = all_idx[~done]
-        if len(redo):
-            run(redo, opts.max_blo_iters)
-        if not np.isfinite(out_logl).all():
-            bad = int(np.nonzero(~np.isfinite(out_logl))[0][0])
-            raise RuntimeError(
-                f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
-        return out_logl, out_pendant, out_distal
+        return host_window_thorough(self, pair_e, pair_q, codes, ranges, qt)
 
     def host_resident_bytes(self) -> int:
         return (self._resid_np.nbytes + self._mean_np.nbytes
                 + self._tU_np.nbytes + self._tV_np.nbytes
                 + self._ls_np.nbytes + self._lengths_np.nbytes)
+
+
+def _gather_windows(eng, pair_e, pair_q, win_begin, W, tQ, invq):
+    """Host-side per-pair site-window gathers of the BLO tensors
+    (``eng`` carries _tU_np/_tV_np/_ls_np host copies)."""
+    RK = eng._tU_np.shape[1]
+    K = tQ.shape[1]
+    cols = win_begin[:, None] + np.arange(W)[None, :]       # [P, W]
+    e_ix = pair_e[:, None, None]
+    tu = eng._tU_np[e_ix, np.arange(RK)[None, :, None], cols[:, None, :]]
+    tv = eng._tV_np[e_ix, np.arange(RK)[None, :, None], cols[:, None, :]]
+    q_ix = pair_q[:, None, None]
+    tq = tQ[q_ix, np.arange(K)[None, :, None], cols[:, None, :]]
+    l = eng._ls_np[pair_e[:, None], cols]
+    iv = invq[pair_q[:, None], cols]
+    return tu, tv, tq, l, iv
+
+
+def host_window_thorough(eng, pair_e, pair_q, codes, ranges, qt=None):
+    """Thorough placement with HOST-resident BLO tensors: per-pair site
+    windows are gathered on the host (vectorized fancy indexing — the
+    analog of ``shift_partition_focus``) and shipped as compact batches
+    to the XLA Newton kernel. Shared by OutOfCoreEngine (--memsave) and
+    mesh mode's exact-redo fallback (PlacementEngine.attach_mesh); ``eng``
+    must carry _tU_np/_tV_np/_ls_np/_lengths_np host copies."""
+    opts = eng.options
+    S = eng.num_sites
+    P = len(pair_e)
+    tQ, invq = qt if qt is not None else eng._query_tensors_codes(codes)
+    tQ = np.asarray(tQ)
+    invq = np.asarray(invq)
+
+    begins = ranges[:, 0].astype(np.int32)
+    spans = ranges[:, 1].astype(np.int32)
+
+    def bucket_width(span: int) -> int:
+        w = 64
+        while w < span:
+            w *= 2
+        return min(w, S)
+
+    widths = np.asarray([bucket_width(int(spans[q])) for q in pair_q])
+    out_logl = np.zeros(P)
+    out_pendant = np.zeros(P)
+    out_distal = np.zeros(P)
+
+    def run(idx: np.ndarray, cap: int) -> np.ndarray:
+        done_out = np.zeros(P, dtype=bool)
+        blk = 256
+        while blk < min(len(idx), opts.blo_block):
+            blk *= 2
+        order = idx[np.argsort(widths[idx], kind="stable")]
+        for W in np.unique(widths[idx]):
+            widx = order[widths[order] == W]
+            for start in range(0, len(widx), blk):
+                sel = widx[start:start + blk]
+                n = len(sel)
+                pad = np.concatenate([sel, np.repeat(sel[-1:], blk - n)])
+                pe = pair_e[pad]
+                pq = pair_q[pad]
+                wb = np.minimum(begins[pq], S - W).astype(np.int32)
+                tu, tv, tq, l, iv = _gather_windows(
+                    eng, pe, pq, wb, int(W), tQ, invq)
+                local = begins[pq] - wb
+                site = np.arange(W)[None, :]
+                mask = ((site >= local[:, None])
+                        & (site < (local + spans[pq])[:, None]))
+                res = _newton_windows(
+                    eng.consts, jnp.asarray(tu), jnp.asarray(tv),
+                    jnp.asarray(tq), jnp.asarray(l),
+                    jnp.asarray(mask.astype(tu.dtype)),
+                    jnp.asarray(eng._lengths_np[pe]), jnp.asarray(iv),
+                    opts.sliding_blo, cap)
+                logl, pendant, distal_rep, _, _, done = res
+                out_logl[sel] = np.asarray(logl)[:n]
+                out_pendant[sel] = np.asarray(pendant)[:n]
+                out_distal[sel] = np.asarray(distal_rep)[:n]
+                done_out[sel] = np.asarray(done)[:n]
+        return done_out
+
+    all_idx = np.arange(P)
+    phase1 = min(opts.blo_phase1_smoothings, opts.max_blo_iters)
+    done = run(all_idx, phase1)
+    redo = all_idx[~done]
+    if len(redo):
+        run(redo, opts.max_blo_iters)
+    if not np.isfinite(out_logl).all():
+        bad = int(np.nonzero(~np.isfinite(out_logl))[0][0])
+        raise RuntimeError(
+            f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
+    return out_logl, out_pendant, out_distal

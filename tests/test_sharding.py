@@ -71,18 +71,17 @@ def test_scaling_harness_smoke():
 
 
 def test_attach_mesh_engine_equals_plain():
-    """engine.attach_mesh: the full engine path (fused dispatch ->
-    finalize -> redo fallbacks) over a (dp x ep) mesh must place
-    identically to the plain single-device engine. fused_topk=4 forces
-    some budget-saturated queries through the sharded wide redo and the
-    host-window exact fallback."""
+    """engine.attach_mesh: the full engine path over a (dp x ep) mesh
+    must place identically to the plain single-device engine; the two
+    redo fallbacks (sharded wide step; host-window exact) are driven
+    directly below, since budget saturation is data-dependent."""
     from epa_ng_tpu.io.fasta import MSA, Sequence
 
-    tree, ref, qry = synth_dataset(n_taxa=32, sites=128, n_queries=24,
+    tree, ref, qry = synth_dataset(n_taxa=32, sites=128, n_queries=30,
                                    seed=21)
     rng = np.random.default_rng(5)
     # a few barely-informative reads -> flat posteriors -> redo coverage
-    for i in range(8):
+    for i in range(4):
         start = int(rng.integers(0, 120))
         s = ["-"] * 128
         for j in range(start, start + 8):
@@ -92,11 +91,11 @@ def test_attach_mesh_engine_equals_plain():
     model = "GTR{1.3/2.2/0.9/1.4/3.8/1}+FU{0.26/0.24/0.25/0.25}+G4{0.9}"
 
     plain = PlacementEngine(tree, ref, Model.from_string(model),
-                            Options(blo_block=64, fused_topk=4))
+                            Options(blo_block=64, fused_topk=8))
     pq_plain = plain.place_chunk(msa)
 
     meshed = PlacementEngine(tree, ref, Model.from_string(model),
-                             Options(blo_block=64, fused_topk=4))
+                             Options(blo_block=64, fused_topk=8))
     meshed.attach_mesh(make_mesh(4, 2))
     pq_mesh = meshed.place_chunk(msa)
 
@@ -108,6 +107,28 @@ def test_attach_mesh_engine_equals_plain():
         np.testing.assert_allclose(np.sort(a.lwrs), np.sort(b.lwrs),
                                    atol=1e-9)
         assert a.edge_nums[0] == b.edge_nums[0]
+
+    # saturation is data-dependent, so the two redo fallbacks are driven
+    # DIRECTLY with realistic inputs and cross-checked against the plain
+    # engine: (a) the sharded wide redo, (b) the host-window exact
+    # fallback (shared with --memsave) behind mesh-mode preplace/_thorough
+    ec = meshed.encode_msa(msa)
+    perm = np.argsort(ec.ranges[:, 0], kind="stable")
+    codes, ranges = ec.codes[perm], ec.ranges[perm]
+    tQ, invq = meshed._query_tensors_codes(codes)
+    ec_p = plain.encode_msa(msa)
+    codes_p, ranges_p = ec_p.codes[perm], ec_p.ranges[perm]
+    tQp, invqp = plain._query_tensors_codes(codes_p)
+
+    for fn in ("_redo_wide", "_redo_exact"):
+        sub = getattr(meshed, fn)([0, 1], codes, ranges, tQ, invq, perm,
+                                  ec.headers, 0)
+        sub_p = getattr(plain, fn)([0, 1], codes_p, ranges_p, tQp, invqp,
+                                   perm, ec_p.headers, 0)
+        assert len(sub) == len(sub_p) == 2, fn
+        for a, b in zip(sub, sub_p):
+            np.testing.assert_allclose(np.sort(a.logls), np.sort(b.logls),
+                                       atol=1e-9, err_msg=fn)
 
 
 def test_cli_mesh_equals_plain(tmp_path):
