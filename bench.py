@@ -165,11 +165,24 @@ def run_e2e():
     s = stats[-1]
     out = os.path.join(tmp, "epa_result.jplace")
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+    # BASELINE config 4: the same stream from a bfast (random-access
+    # 4-bit binary) query file — the reference's cluster input format
+    from epa_ng_tpu.io.bfast import fasta_to_bfast
+    qbin = fasta_to_bfast(qpath, tmp)
+    with contextlib.redirect_stdout(io.StringIO()):
+        rc = cli.main(["--tree", tpath, "--ref-msa", rpath,
+                       "--query", qbin, "-m", MODEL, "-w", tmp, "--redo",
+                       "--chunk-size", str(CHUNK)])
+    assert rc == 0, f"bfast e2e CLI run failed rc={rc}"
+    bstats = dict(cli.LAST_RUN_STATS)
+
     return {"qps": N_QUERIES / s["placing_s"],
             "placing_s": s["placing_s"],
             "read_s": s["read_s"], "compute_s": s["compute_s"],
             "write_s": s["write_s"],
-            "cold_placing_s": stats[0]["placing_s"]}
+            "cold_placing_s": stats[0]["placing_s"],
+            "bfast_qps": N_QUERIES / bstats["placing_s"]}
 
 
 def _measure_engine(tree, ref, qry, opts, chunk: int,
