@@ -778,12 +778,15 @@ class PlacementEngine:
         logl2, pend2, dist2 = self._thorough(
             sub_e, np.asarray(redo, np.int32)[sub_q], codes, ranges,
             qt=(tQ, invq))
-        by_query: dict[int, list[int]] = {}
-        for i, qq in enumerate(sub_q):
-            by_query.setdefault(int(qq), []).append(i)
+        # group pairs by query with one vectorized argsort (same pattern as
+        # _place_chunk_exact — no per-pair python dict appends)
+        order = np.argsort(sub_q, kind="stable")
+        qsorted = sub_q[order]
+        uq, qstarts = np.unique(qsorted, return_index=True)
+        qends = np.append(qstarts[1:], len(qsorted))
         sub_pqs = []
-        for qq in sorted(by_query):
-            sel = np.asarray(by_query[qq])
+        for qq, s, e in zip(uq, qstarts, qends):
+            sel = order[s:e]
             oq = int(perm[redo[qq]])
             sub_pqs.append(PQuery(
                 seq_id=seq_id_offset + oq,
@@ -820,13 +823,17 @@ class PlacementEngine:
         begins = ranges[:, 0].astype(np.int32)
         spans = ranges[:, 1].astype(np.int32)
 
-        def bucket_width(span: int) -> int:
-            w = 64
-            while w < span:
-                w *= 2
-            return min(w, S)
-
-        widths = np.asarray([bucket_width(int(spans[q])) for q in pair_q])
+        # per-QUERY bucket widths (power-of-two >= span, floor 64, cap S),
+        # gathered onto the pair list — a python comprehension over the
+        # pair list costs O(Q*E) iterations per --no-heur chunk (see the
+        # vectorization note at _place_chunk_exact)
+        qwidths = np.full(len(spans), 64, dtype=np.int64)
+        grow = qwidths < spans
+        while grow.any():
+            qwidths[grow] *= 2
+            grow = qwidths < spans
+        qwidths = np.minimum(qwidths, S)
+        widths = qwidths[pair_q]
 
         blo = self.blo
         out_logl = np.zeros(P)
