@@ -254,29 +254,50 @@ def run_extra_configs():
         "approx_hbm_gb_per_s": round(pairs / dt * bytes_per_pair * 2 / 1e9,
                                      1)}
 
-    # heuristic accuracy vs the exhaustive sweep (the reference's claim:
-    # preplacement "sacrifices only insignificant amounts of accuracy",
-    # README.md:179). Random synthetic queries make many edges
-    # near-equivalent, so raw top-edge agreement is tie-dominated (both
-    # here and in the reference — identical acc-LWR-over-preplacement
-    # semantics); the meaningful number is the LOGL SHORTFALL of the
-    # heuristic's best placement vs the exhaustive best. On the real
-    # test-data queries both paths agree exactly (asserted in tests).
-    from epa_ng_tpu.io.fasta import MSA as _MSA
-    sub = _MSA(sequences=qry.sequences[:512], num_sites=qry.num_sites)
-    pq_full = eng.place_chunk(sub)
-    eng.options.prescoring = True
-    pq_heur = eng.place_chunk(sub)
-    agree = sum(int(a.edge_nums[0] == b.edge_nums[0])
-                for a, b in zip(pq_heur, pq_full))
+    # heuristic accuracy vs the exhaustive sweep on MODEL-EVOLVED queries
+    # (the reference's claim: preplacement "sacrifices only insignificant
+    # amounts of accuracy", README.md:179). Evolved queries (simulated
+    # along the tree from a known source edge, utils.synth.evolved_dataset)
+    # have peaked posteriors like real reads, so top-edge agreement is a
+    # meaningful number — random-character queries are tie-dominated and
+    # understate it (r03's 0.373). The same data re-validates the dynamic
+    # pair-budget halving's live-fraction assumption (docs/PERF.md).
     import numpy as _np
+
+    from epa_ng_tpu.core.engine import PlacementEngine as _PE
+    from epa_ng_tpu.models import Model as _Model
+    from epa_ng_tpu.utils.synth import evolved_dataset
+
+    etree, eref, eqry, true_edges = evolved_dataset(
+        n_taxa=256, sites=256, n_queries=512, seed=29, model_str=MODEL)
+    eng2 = _PE(etree, eref, _Model.from_string(MODEL),
+               Options(compute_dtype="f32", prescoring=False))
+    pq_full = eng2.place_chunk(eqry)
+    eng2.options.prescoring = True
+    pq_heur = eng2.place_chunk(eqry)
+    agree = _np.mean([int(a.edge_nums[0] == b.edge_nums[0])
+                      for a, b in zip(pq_heur, pq_full)])
     shortfall = _np.array([max(0.0, float(b.logls[0]) - float(a.logls[0]))
                            for a, b in zip(pq_heur, pq_full)])
-    out["noheur"]["heur_top_edge_agreement"] = round(agree / len(pq_full), 4)
-    out["noheur"]["heur_logl_shortfall_mean"] = round(
-        float(shortfall.mean()), 4)
-    out["noheur"]["heur_logl_shortfall_max"] = round(
-        float(shortfall.max()), 4)
+    recov = _np.mean([int(pq.edge_nums[0]) == t
+                      for pq, t in zip(pq_heur, true_edges)])
+    # dynamic-heuristic live fraction within the default top-16 fused
+    # budget: the pair-budget halving assumes this stays well under 50%
+    ec = eng2.encode_msa(eqry)
+    scores = eng2.preplace(ec.codes, ec.ranges)
+    k = min(16, eng2.num_edges)
+    top = _np.sort(scores, axis=1)[:, ::-1][:, :k]
+    ex = _np.exp(scores - top[:, :1])
+    lwr_pre = _np.exp(top - top[:, :1]) / ex.sum(axis=1, keepdims=True)
+    prefix = lwr_pre.cumsum(axis=1) - lwr_pre
+    live_frac = float((prefix < 0.99999).mean())
+    out["accuracy_evolved"] = {
+        "taxa": 256, "sites": 256, "queries": 512,
+        "true_edge_recovery": round(float(recov), 4),
+        "heur_top_edge_agreement": round(float(agree), 4),
+        "heur_logl_shortfall_mean": round(float(shortfall.mean()), 4),
+        "heur_logl_shortfall_max": round(float(shortfall.max()), 4),
+        "dyn_live_frac_top16": round(live_frac, 4)}
 
     # big tree: 2048 taxa = 4093 edges
     tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
