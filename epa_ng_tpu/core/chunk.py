@@ -74,11 +74,15 @@ def ranges_from_rows(rows: np.ndarray) -> np.ndarray:
     """[Q, 2] (begin, span): trim leading/trailing literal '-' characters
     only (reference: src/util/Range.hpp:34-49 checks '-' alone; '?' or '.'
     at the edges do NOT shrink the range)."""
-    Q, S = rows.shape
+    return ranges_from_nongap(rows != ord("-"))
+
+
+def ranges_from_nongap(nongap: np.ndarray) -> np.ndarray:
+    """[Q, 2] (begin, span) from a boolean [Q, S] non-gap matrix."""
+    Q, S = nongap.shape
     out = np.zeros((Q, 2), dtype=np.int32)
     if Q == 0:
         return out
-    nongap = rows != ord("-")
     any_ = nongap.any(axis=1)
     begin = np.argmax(nongap, axis=1).astype(np.int32)
     last = (S - 1 - np.argmax(nongap[:, ::-1], axis=1)).astype(np.int32)

@@ -212,3 +212,57 @@ class BfastReader:
             msa.append(label, seq)
         self._num_read += len(msa)
         return msa
+
+    def read_next_encoded(self, chunk_size: int, num_states: int = 4):
+        """One chunk as an EncodedChunk DIRECTLY from the 4-bit payload:
+        the bfast code (index into "-TGKCYSBAWRDMHVN") IS the engine's
+        DNA lookup-column index, so decode skips text entirely — one bulk
+        file read, one vectorized nibble unpack into the [Q, S] codes
+        matrix (the reference's rationale for the format: bfast
+        "increases parallel efficiency", README.md:215-216). Returns None
+        at EOF."""
+        from epa_ng_tpu.core.chunk import EncodedChunk, ranges_from_nongap
+        if num_states != 4:
+            raise ValueError("bfast files hold DNA (4-state) data only")
+        to_read = min(chunk_size, self._max_read - self._num_read)
+        if to_read <= 0:
+            return None
+        i0 = self._local_offset + self._num_read
+        start = int(self._offsets[i0])
+        if i0 + to_read < len(self._offsets):
+            end = int(self._offsets[i0 + to_read])
+        else:
+            import os
+            end = os.fstat(self._f.fileno()).st_size
+        self._f.seek(start)
+        buf = self._f.read(end - start)
+        b = np.frombuffer(buf, dtype=np.uint8)
+
+        rel = (self._offsets[i0:i0 + to_read].astype(np.int64) - start)
+        headers = []
+        payload_starts = np.empty(to_read, dtype=np.int64)
+        n_sites = -1
+        for i in range(to_read):
+            r = int(rel[i])
+            ll = int.from_bytes(buf[r:r + 8], "little")
+            headers.append([buf[r + 8:r + 8 + ll].decode()])
+            n = int.from_bytes(buf[r + 8 + ll:r + 16 + ll], "little")
+            if n_sites < 0:
+                n_sites = n
+            elif n != n_sites:
+                raise ValueError(
+                    "Query sequence length not same as reference alignment!")
+            payload_starts[i] = r + 16 + ll
+        pl = (n_sites + 1) // 2
+        packed = b[payload_starts[:, None] + np.arange(pl)[None, :]]
+        codes = np.empty((to_read, 2 * pl), dtype=np.uint8)
+        codes[:, 0::2] = packed >> 4
+        codes[:, 1::2] = packed & 0x0F
+        codes = codes[:, :n_sites]
+        if self._mask is not None:
+            codes = np.ascontiguousarray(codes[:, ~self._mask])
+        self._num_read += to_read
+        # gap code 0 decodes to '-' (and nothing else does), so the
+        # valid-range rule matches the text path's literal-'-' trim
+        return EncodedChunk(headers=headers, codes=codes,
+                            ranges=ranges_from_nongap(codes != 0))

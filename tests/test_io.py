@@ -82,6 +82,53 @@ def test_bfast_reader_chunks_match_stream(tmp_path):
     assert chunk2[0].header == "D"
 
 
+def _encoded_equals_string_path(path, info, premask: bool):
+    """read_next_encoded must equal encode(read_next) chunk by chunk."""
+    from epa_ng_tpu.core import chunk as chunk_mod
+    ra = bfast.BfastReader(path, info, premask=premask)
+    rb = bfast.BfastReader(path, info, premask=premask)
+    while True:
+        ec = ra.read_next_encoded(3, num_states=4)
+        msa = rb.read_next(3)
+        if ec is None:
+            assert len(msa) == 0
+            break
+        want = chunk_mod.from_msa(msa, 4)
+        assert [h[0] for h in ec.headers] == [h[0] for h in want.headers]
+        assert (ec.codes == want.codes).all()
+        assert (ec.ranges == want.ranges).all()
+
+
+def test_bfast_encoded_reader_matches_string_path(tmp_path):
+    out = bfast.fasta_to_bfast(f"{D}/query.fasta", str(tmp_path))
+    info = bfast.get_info(out)
+    _encoded_equals_string_path(out, info, premask=False)
+    _encoded_equals_string_path(out, info, premask=True)
+
+
+def test_bfast_encoded_reader_legacy_file():
+    if not bfast.is_bfast(f"{D}/query.fasta.bin"):
+        import pytest
+        pytest.skip("reference bfast file missing")
+    info = bfast.get_info(f"{D}/query.fasta.bin")
+    _encoded_equals_string_path(f"{D}/query.fasta.bin", info, premask=False)
+
+
+def test_bfast_encoded_reader_sharded(tmp_path):
+    out = bfast.fasta_to_bfast(f"{D}/aln.fasta", str(tmp_path))
+    info = bfast.get_info(out)
+    from epa_ng_tpu.core import chunk as chunk_mod
+    for rank in range(3):
+        r = bfast.BfastReader(out, info, premask=False, split=True,
+                              process_index=rank, process_count=3)
+        s = bfast.BfastReader(out, info, premask=False, split=True,
+                              process_index=rank, process_count=3)
+        ec = r.read_next_encoded(100, num_states=4)
+        want = chunk_mod.from_msa(s.read_next(100), 4)
+        assert (ec.codes == want.codes).all()
+        assert [h[0] for h in ec.headers] == [h[0] for h in want.headers]
+
+
 def test_stream_sharding():
     info = fio.make_msa_info(f"{D}/aln.fasta")
     headers = []
