@@ -172,6 +172,27 @@ class PlacementEngine:
         if dp & (dp - 1):
             raise ValueError("mesh dp axis must be a power of two")
         blo = self.blo
+        # --- the mesh host-RAM ceiling, stated and enforced: every host
+        # keeps a FULL copy of the BLO store in RAM for the rare
+        # exact-redo fallback (the sharded tensors in HBM only cover the
+        # fused path). ep-sharding therefore divides the HBM footprint
+        # across the slice but NOT the host footprint — tree size is
+        # capped at host RAM per host, not at slice HBM. (A device-
+        # collective window gather from the ep shards could break this;
+        # the reference's analog ceiling-breaker is its -b disk paging,
+        # src/tree/Tree.cpp:80-117, our --memsave — mutually exclusive
+        # with --mesh.) Checked here so the failure is a clear error at
+        # attach time, not an OOM kill mid-run.
+        need = int(blo.tU.nbytes + blo.tV.nbytes + blo.ls.nbytes
+                   + blo.lengths.nbytes)
+        avail = _host_available_bytes()
+        if avail is not None and need > 0.6 * avail:
+            raise RuntimeError(
+                f"--mesh keeps a full host-RAM copy of the reference "
+                f"state for the exact-redo fallback: need ~{need / 1e9:.1f}"
+                f" GB but only {avail / 1e9:.1f} GB host RAM is available. "
+                f"Tree size under --mesh is capped by host RAM per host; "
+                f"for larger trees use --memsave (single device).")
         # host fallback copies for the exact-redo path (host RAM, not HBM)
         self._tU_np = np.asarray(blo.tU)
         self._tV_np = np.asarray(blo.tV)
@@ -953,6 +974,18 @@ class PlacementEngine:
             raise RuntimeError(
                 f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
         return out_logl, out_pendant, out_distal
+
+
+def _host_available_bytes():
+    """Available host RAM (MemAvailable), or None when undeterminable."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
 
 
 @jax.jit
