@@ -181,6 +181,10 @@ def run_e2e():
             "placing_s": s["placing_s"],
             "read_s": s["read_s"], "compute_s": s["compute_s"],
             "write_s": s["write_s"],
+            # write_s split: finalize = device sync + result assembly
+            # (tunnel transfer rides here), emit = jplace text + file IO
+            "finalize_s": s.get("finalize_s", -1.0),
+            "emit_s": s.get("emit_s", -1.0),
             "cold_placing_s": stats[0]["placing_s"],
             "bfast_qps": N_QUERIES / bstats["placing_s"]}
 

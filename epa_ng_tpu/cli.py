@@ -540,9 +540,16 @@ def main(argv=None) -> int:
         progress["done"] += len(ec)
         return handle, ec.num_reads
 
+    stage_s = {"finalize": 0.0, "emit": 0.0}
+
     def write(item):
         handle, nreads = item
-        writer.write(engine.finalize_chunk(handle))
+        t0 = time.perf_counter()
+        result = engine.finalize_chunk(handle)
+        t1 = time.perf_counter()
+        writer.write(result)
+        stage_s["emit"] += time.perf_counter() - t1
+        stage_s["finalize"] += t1 - t0
         progress["reads"] += nreads
         log.info("%d Sequences done!", progress["reads"])
 
@@ -568,7 +575,11 @@ def main(argv=None) -> int:
         sequences=progress["done"],
         read_s=pipeline.read_timer.sum(),
         compute_s=pipeline.compute_timer.sum(),
-        write_s=pipeline.write_timer.sum())
+        write_s=pipeline.write_timer.sum(),
+        # write_s split: device sync + result assembly (finalize) vs
+        # jplace text formatting + file write (emit)
+        finalize_s=stage_s["finalize"],
+        emit_s=stage_s["emit"])
     log.info("Time spent placing: %ds", int(time.time() - start_place))
     log.info("Elapsed Time: %ds", int(time.time() - start_all))
     return 0

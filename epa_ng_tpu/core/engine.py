@@ -570,6 +570,7 @@ class PlacementEngine:
                 topk=topk, sliding=opts.sliding_blo, site_width=W,
                 filter_cfg=fcfg, filter_threshold=fthresh,
                 heur_mode=heur_mode)
+            _start_host_copy(out)
             return {
                 "ec": ec, "out": out, "perm": perm, "Qr": Qr,
                 "codes": codes, "ranges": ranges,
@@ -599,6 +600,7 @@ class PlacementEngine:
             filter_cfg=fcfg,
             filter_threshold=fthresh,
             heur_mode=heur_mode)
+        _start_host_copy(out)
         return {
             "ec": ec, "out": out, "perm": perm, "Qr": Qr,
             "codes": codes, "ranges": ranges,
@@ -974,6 +976,19 @@ class PlacementEngine:
             raise RuntimeError(
                 f"-INF logl at branch {pair_e[bad]} for query {pair_q[bad]}")
         return out_logl, out_pendant, out_distal
+
+
+def _start_host_copy(out):
+    """Begin the device->host result transfer WITHOUT blocking: the fused
+    step's packed output starts riding the (20 MB/s, in this environment)
+    host link as soon as its chunk finishes on device, overlapped with the
+    next chunks' compute, so finalize_chunk's np.asarray finds the bytes
+    already landed (the async half of the reference's jplace_writer
+    future, src/io/jplace_writer.hpp:58-69)."""
+    try:
+        out.copy_to_host_async()
+    except AttributeError:
+        pass
 
 
 def _host_available_bytes():
