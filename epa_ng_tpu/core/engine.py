@@ -163,9 +163,6 @@ class PlacementEngine:
         exact-redo fallback gathers per-pair windows from HOST copies of
         the BLO store, so no full-size device replica survives."""
         from epa_ng_tpu.parallel.mesh import ShardedPlacement
-        if self.options.pallas == "on":
-            raise ValueError("pallas=on is incompatible with --mesh "
-                             "(the Pallas kernel is single-device)")
         if self.options.memsave:
             raise ValueError("--mesh and --memsave are mutually exclusive")
         dp = mesh.shape["dp"]
@@ -370,10 +367,13 @@ class PlacementEngine:
         return tQ, invq
 
     def _use_pallas(self, width: int) -> bool:
-        """Dispatch the Newton stage to the Pallas kernel? Single-device
-        TPU, DNA, pinv=0, f32, sliding mode only."""
+        """Dispatch the Newton stage to the Pallas kernel? TPU backend,
+        DNA, pinv=0, f32, sliding mode only. In mesh mode the kernel runs
+        per device inside the shard_map'd step (every chip keeps the
+        single-chip kernel, like the reference's per-rank SIMD kernels
+        under MPI, src/core/place.cpp:64-171)."""
         opt = self.options.pallas
-        if opt == "off" or self._sharded is not None:
+        if opt == "off":
             return False
         from epa_ng_tpu.ops import pallas_blo
         ok = (pallas_blo.blo_supported(self.consts, width,
@@ -381,7 +381,7 @@ class PlacementEngine:
               and jax.default_backend() == "tpu")
         if opt == "on" and not ok:
             raise ValueError(
-                "pallas=on requires single-TPU, DNA, pinv=0, f32, "
+                "pallas=on requires a TPU backend, DNA, pinv=0, f32, "
                 "sliding BLO")
         return ok
 
@@ -563,13 +563,27 @@ class PlacementEngine:
         fcfg = (opts.acc_threshold, max(1, opts.filter_min),
                 opts.filter_max)
         fthresh = jnp.asarray(opts.support_threshold, self.dtype)
+        Wb = None
+        if self._use_pallas(W):
+            # only the static window WIDTH is planned host-side; the
+            # per-block offsets are computed on device after the
+            # candidate compaction (parallel.mesh.placement_step). The
+            # chunk is begin-sorted, so any contiguous dp shard of it
+            # keeps the same window bound.
+            from epa_ng_tpu.ops.pallas_blo import plan_blocks
+            _, Wb, _ = plan_blocks(
+                ranges[:, 0].astype(np.int32), ranges[:, 1].astype(np.int32),
+                S, topk)
+            if not self._use_pallas(Wb):
+                Wb = None
         if self._sharded is not None:
             out = self._sharded.fused_step(
                 jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
                 jnp.asarray(ranges[:, 1]), tQ, invq,
                 topk=topk, sliding=opts.sliding_blo, site_width=W,
                 filter_cfg=fcfg, filter_threshold=fthresh,
-                heur_mode=heur_mode)
+                heur_mode=heur_mode, use_pallas=Wb is not None,
+                block_width=Wb)
             _start_host_copy(out)
             return {
                 "ec": ec, "out": out, "perm": perm, "Qr": Qr,
@@ -578,17 +592,6 @@ class PlacementEngine:
                 "heur_mode": heur_mode,
             }
         blo = self.blo
-        Wb = None
-        if self._use_pallas(W):
-            # only the static window WIDTH is planned host-side; the
-            # per-block offsets are computed on device after the
-            # candidate compaction (parallel.mesh.placement_step)
-            from epa_ng_tpu.ops.pallas_blo import plan_blocks
-            _, Wb, _ = plan_blocks(
-                ranges[:, 0].astype(np.int32), ranges[:, 1].astype(np.int32),
-                S, topk)
-            if not self._use_pallas(Wb):
-                Wb = None
         out = placement_step(
             self.consts, self.lookup_table, blo.tU, blo.tV, blo.ls,
             blo.lengths, jnp.asarray(codes), jnp.asarray(ranges[:, 0]),
@@ -717,17 +720,6 @@ class PlacementEngine:
         fcfg = (opts.acc_threshold, max(1, opts.filter_min),
                 opts.filter_max)
         fthresh = jnp.asarray(opts.support_threshold, self.dtype)
-        if self._sharded is not None:
-            out = self._sharded.fused_step(
-                jnp.asarray(codes[idx]), jnp.asarray(sub_r[:, 0]),
-                jnp.asarray(sub_r[:, 1]), tQ[idx_j], invq[idx_j],
-                topk=k2, sliding=opts.sliding_blo, site_width=W2,
-                filter_cfg=fcfg, filter_threshold=fthresh,
-                heur_mode=heur_mode)
-            return self._redo_wide_finish(out, redo, n_redo, k2, codes,
-                                          ranges, tQ, invq, perm, headers,
-                                          seq_id_offset)
-        blo = self.blo
         # the redo rows are a subset of the begin-sorted chunk, so the
         # blocked Pallas path's window assumption holds; at the 16x
         # candidate budget the XLA fallback costs ~1s of lock-step Newton
@@ -740,6 +732,18 @@ class PlacementEngine:
                                     self.num_sites, k2)
             if not self._use_pallas(Wb2):
                 Wb2 = None
+        if self._sharded is not None:
+            out = self._sharded.fused_step(
+                jnp.asarray(codes[idx]), jnp.asarray(sub_r[:, 0]),
+                jnp.asarray(sub_r[:, 1]), tQ[idx_j], invq[idx_j],
+                topk=k2, sliding=opts.sliding_blo, site_width=W2,
+                filter_cfg=fcfg, filter_threshold=fthresh,
+                heur_mode=heur_mode, use_pallas=Wb2 is not None,
+                block_width=Wb2)
+            return self._redo_wide_finish(out, redo, n_redo, k2, codes,
+                                          ranges, tQ, invq, perm, headers,
+                                          seq_id_offset)
+        blo = self.blo
         out = placement_step(
             self.consts, self.lookup_table, blo.tU, blo.tV, blo.ls,
             blo.lengths, jnp.asarray(codes[idx]), jnp.asarray(sub_r[:, 0]),

@@ -161,138 +161,15 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
     Kst = tQ.shape[1]
 
     if use_pallas and block_width is not None:
-        # blocked-window path with in-dispatch candidate compaction: live
-        # pairs sort to the front (begin-ordered, so each 128-pair block
-        # covers a tight site window), heuristic-cut pairs sink to the
-        # tail where whole blocks deactivate — with the default 0.99999
-        # accumulated-LWR cut roughly half the static top-k budget is
-        # dead, and a host-side compaction would cost a device->host
-        # round trip per chunk instead (tens of ms through a TPU tunnel).
-        from epa_ng_tpu.ops.pallas_blo import (
-            PB, blo_optimize_batch_pallas_blocked)
-        B = Q * topk
-        # dynamic-heuristic pair-budget halving: the accumulated-LWR cut
-        # leaves only ~25-50% of the static top-k pairs live (measured on
-        # bench workloads), and live pairs sort to the FRONT — so only the
-        # first half of the sorted pair list is gathered/transposed/
-        # dispatched. A live pair landing beyond the halved budget (a
-        # flat-posterior chunk) is flagged uncomputed and its query
-        # re-runs through the engine's redo/exact fallback, same as a
-        # window misfit. fixed/baseball budgets are exact (all pairs
-        # live), so they keep the full pair list.
-        if heur_mode == "dynamic":
-            NP = max(PB, B // 2 // PB * PB)
-        else:
-            NP = -(-B // PB) * PB
-        n_blocks = NP // PB
-        Wb = block_width
         q_ids0 = jnp.repeat(jnp.arange(Q), topk)
-        flat_valid = valid.reshape(-1)
-        pb0 = begins[q_ids0].astype(jnp.int32)
-        big = jnp.int32(1) << jnp.int32(24)
-        order_full = jnp.argsort(jnp.where(flat_valid, 0, big) + pb0)  # [B]
-        if NP <= B:
-            order = order_full[:NP]
-        else:
-            order = jnp.concatenate(
-                [order_full, jnp.repeat(order_full[-1:], NP - B)])
-
-        flat_e_p = flat_e[order]
-        q_ids_p = q_ids0[order]
-        pb_p = pb0[order]
-        sp_p = spans[q_ids_p].astype(jnp.int32)
-        live_p = flat_valid[order]
-        if NP > B:
-            live_p = live_p.at[B:].set(False)
-
-        # per-block window offsets from the LIVE pairs only (dead pairs'
-        # windows are irrelevant — their results are discarded)
-        S_pad = max(-(-S // 128) * 128, Wb)
-        pbm = jnp.where(live_p, pb_p, big).reshape(n_blocks, PB)
-        offs = (jnp.min(pbm, axis=1) // 8) * 8
-        offs = jnp.clip(offs, 0, S_pad - Wb).astype(jnp.int32)
-        local = pb_p - jnp.repeat(offs, PB)
-        # a live pair can only miss its block window when the block's
-        # begin spread exceeds Wb (possible since Wb was planned for the
-        # denser all-pairs ordering); such pairs are flagged uncomputed
-        # and the engine re-runs them exactly (rare: none on typical
-        # short-read chunks)
-        fits = live_p & (local + sp_p <= Wb)
-        block_active = jnp.any(fits.reshape(n_blocks, PB),
-                               axis=1).astype(jnp.int32)
-        tUg = tU[flat_e_p]
-        tVg = tV[flat_e_p]
-        tQg = tQ[q_ids_p]
-        orig_p = lengths[flat_e_p]
-        fullmask = ((site[None, :] >= pb_p[:, None])
-                    & (site[None, :] < (pb_p + sp_p)[:, None])).astype(dtype)
-        ls_sum = jnp.sum(fullmask * ls[flat_e_p], axis=1)
-        wsite = jnp.arange(Wb)
-        bmask = ((wsite[None, :] >= local[:, None])
-                 & (wsite[None, :] < (local + sp_p)[:, None])
-                 & fits[:, None])
-        from epa_ng_tpu.ops.pallas_blo import MAX_KERNEL_SITES
-        max_sm = newton.SMOOTHINGS
-        two_phase = (bool(phase1) and phase1 < max_sm and NP >= 4 * PB
-                     and S_pad <= MAX_KERNEL_SITES)  # phase B is full-width
-        p1 = phase1 if two_phase else max_sm
-        logl_s, pendant_s, distal_s, _, _, done_s = (
-            blo_optimize_batch_pallas_blocked(
-                consts, tUg, tVg, tQg, bmask.astype(dtype),
-                orig_p, offs, ls_sum, block_width=Wb,
-                max_smoothings=p1,
-                skip=1.0 - fits.astype(dtype), block_active=block_active))
-        computed_pair = fits
-        if two_phase:
-            # --- phase B: compact the unconverged tail (evenly spread
-            # over blocks) into NP/4 pairs and rerun with the full budget
-            unconv = fits & ~done_s
-            NB = (NP // 4) // PB * PB
-            key = jnp.where(unconv, 0, NP) + jnp.arange(NP)
-            idx2 = jnp.argsort(key)[:NB]   # unconv first, begin order kept
-            fits2 = unconv[idx2]
-            pb2 = pb_p[idx2]
-            sp2 = sp_p[idx2]
-            nb2 = NB // PB
-            # full-width windows: the stragglers are a sparse begin-ordered
-            # subsample, so their per-block begin spread is ~(1/unconv
-            # fraction) wider than phase A's — a Wb window would evict
-            # most of them. Their count is small; full width is cheap.
-            Wb2 = S_pad
-            offs2 = jnp.zeros((nb2,), jnp.int32)
-            act2 = jnp.any(fits2.reshape(nb2, PB), axis=1).astype(jnp.int32)
-            w2site = jnp.arange(Wb2)
-            bmask2 = ((w2site[None, :] >= pb2[:, None])
-                      & (w2site[None, :] < (pb2 + sp2)[:, None])
-                      & fits2[:, None])
-            loglB, pendB, distB, _, _, _ = (
-                blo_optimize_batch_pallas_blocked(
-                    consts, tUg[idx2], tVg[idx2], tQg[idx2],
-                    bmask2.astype(dtype), orig_p[idx2], offs2, ls_sum[idx2],
-                    block_width=Wb2, max_smoothings=max_sm,
-                    skip=1.0 - fits2.astype(dtype), block_active=act2))
-            logl_s = logl_s.at[idx2].set(jnp.where(fits2, loglB,
-                                                   logl_s[idx2]))
-            pendant_s = pendant_s.at[idx2].set(jnp.where(fits2, pendB,
-                                                         pendant_s[idx2]))
-            distal_s = distal_s.at[idx2].set(jnp.where(fits2, distB,
-                                                       distal_s[idx2]))
-            handled = jnp.zeros((NP,), bool).at[idx2].set(fits2)
-            # phase-A stragglers that missed the phase-B budget (never
-            # seen in practice) re-place exactly via the engine fallback
-            computed_pair = fits & (done_s | handled)
-
-        # scatter results back to [B] pair slots; slots never dispatched
-        # (budget-halved tail) keep computed == 0 -> misfit redo
-        m = min(NP, B)
-
-        def unsort(x):
-            return jnp.zeros((B,), x.dtype).at[order[:m]].set(x[:m])
-
-        logl = unsort(logl_s).reshape(Q, topk)
-        pendant = unsort(pendant_s).reshape(Q, topk)
-        distal = unsort(distal_s).reshape(Q, topk)
-        computed = unsort(computed_pair.astype(dtype)).reshape(Q, topk)
+        logl, pendant, distal, computed = _newton_blocked_pallas(
+            consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
+            valid.reshape(-1), begins, spans, block_width,
+            halve_budget=(heur_mode == "dynamic"), phase1=phase1)
+        logl = logl.reshape(Q, topk)
+        pendant = pendant.reshape(Q, topk)
+        distal = distal.reshape(Q, topk)
+        computed = computed.reshape(Q, topk)
         return _step_epilogue(top_edges, logl, pendant, distal, valid,
                               dtype, packed, computed=computed,
                               filter_cfg=filter_cfg,
@@ -374,6 +251,156 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                           dynamic_budget=(heur_mode == "dynamic"))
 
 
+def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
+                           live0, begins, spans, block_width: int,
+                           halve_budget: bool, phase1: int):
+    """Blocked-Pallas Newton stage over a flat [B] (query, edge) pair list
+    with in-dispatch candidate compaction: live pairs sort to the front
+    (begin-ordered, so each 128-pair block covers a tight site window),
+    dead pairs sink to the tail where whole blocks deactivate — with the
+    default 0.99999 accumulated-LWR cut roughly half the static top-k
+    budget is dead, and a host-side compaction would cost a device->host
+    round trip per chunk instead (tens of ms through a TPU tunnel).
+
+    ``flat_e`` indexes THIS STORE's edge axis (under shard_map: local
+    ep-shard indices); ``live0`` marks pairs this dispatch must compute
+    (under shard_map: valid AND owned by this shard). Returns flat [B]
+    (logl, pendant, distal, computed) — computed is 0 for dead/evicted/
+    budget-dropped slots, whose results are garbage and must be discarded.
+
+    ``halve_budget`` is the dynamic pair-budget halving: only the first
+    half of the sorted pair list is gathered/transposed/dispatched (the
+    live fraction is measured at 21-46% on bench and evolved workloads,
+    docs/PERF.md). A live pair landing beyond the halved budget is flagged
+    uncomputed and its query re-runs through the engine's redo fallback.
+    fixed/baseball budgets are exact (all pairs live), so they keep the
+    full pair list.
+
+    ``phase1``: two-phase convergence compaction. The 128-pair blocks run
+    the smoothing loop in lock-step, so one straggler drags its whole
+    block to its own iteration count; but ~85% of pairs converge (or roll
+    back) within 2 smoothings. Phase A runs everything with this small
+    cap, then the unconverged pairs are compacted on device into a small
+    pair budget (NP/4) that reruns with the full smoothing budget.
+    Restarting is trajectory-identical to one long run: the smoothing
+    recursion is deterministic from the fixed init.
+    """
+    from epa_ng_tpu.ops.pallas_blo import (
+        MAX_KERNEL_SITES, PB, blo_optimize_batch_pallas_blocked)
+    dtype = tU.dtype
+    S = tU.shape[2]
+    site = jnp.arange(S)
+    B = flat_e.shape[0]
+    if halve_budget:
+        NP = max(PB, B // 2 // PB * PB)
+    else:
+        NP = -(-B // PB) * PB
+    n_blocks = NP // PB
+    Wb = block_width
+    pb0 = begins[q_ids0].astype(jnp.int32)
+    big = jnp.int32(1) << jnp.int32(24)
+    order_full = jnp.argsort(jnp.where(live0, 0, big) + pb0)   # [B]
+    if NP <= B:
+        order = order_full[:NP]
+    else:
+        order = jnp.concatenate(
+            [order_full, jnp.repeat(order_full[-1:], NP - B)])
+
+    flat_e_p = flat_e[order]
+    q_ids_p = q_ids0[order]
+    pb_p = pb0[order]
+    sp_p = spans[q_ids_p].astype(jnp.int32)
+    live_p = live0[order]
+    if NP > B:
+        live_p = live_p.at[B:].set(False)
+
+    # per-block window offsets from the LIVE pairs only (dead pairs'
+    # windows are irrelevant — their results are discarded)
+    S_pad = max(-(-S // 128) * 128, Wb)
+    pbm = jnp.where(live_p, pb_p, big).reshape(n_blocks, PB)
+    offs = (jnp.min(pbm, axis=1) // 8) * 8
+    offs = jnp.clip(offs, 0, S_pad - Wb).astype(jnp.int32)
+    local = pb_p - jnp.repeat(offs, PB)
+    # a live pair can only miss its block window when the block's
+    # begin spread exceeds Wb (possible since Wb was planned for the
+    # denser all-pairs ordering); such pairs are flagged uncomputed
+    # and the engine re-runs them exactly (rare: none on typical
+    # short-read chunks)
+    fits = live_p & (local + sp_p <= Wb)
+    block_active = jnp.any(fits.reshape(n_blocks, PB),
+                           axis=1).astype(jnp.int32)
+    tUg = tU[flat_e_p]
+    tVg = tV[flat_e_p]
+    tQg = tQ[q_ids_p]
+    orig_p = lengths[flat_e_p]
+    fullmask = ((site[None, :] >= pb_p[:, None])
+                & (site[None, :] < (pb_p + sp_p)[:, None])).astype(dtype)
+    ls_sum = jnp.sum(fullmask * ls[flat_e_p], axis=1)
+    wsite = jnp.arange(Wb)
+    bmask = ((wsite[None, :] >= local[:, None])
+             & (wsite[None, :] < (local + sp_p)[:, None])
+             & fits[:, None])
+    max_sm = newton.SMOOTHINGS
+    two_phase = (bool(phase1) and phase1 < max_sm and NP >= 4 * PB
+                 and S_pad <= MAX_KERNEL_SITES)  # phase B is full-width
+    p1 = phase1 if two_phase else max_sm
+    logl_s, pendant_s, distal_s, _, _, done_s = (
+        blo_optimize_batch_pallas_blocked(
+            consts, tUg, tVg, tQg, bmask.astype(dtype),
+            orig_p, offs, ls_sum, block_width=Wb,
+            max_smoothings=p1,
+            skip=1.0 - fits.astype(dtype), block_active=block_active))
+    computed_pair = fits
+    if two_phase:
+        # --- phase B: compact the unconverged tail (evenly spread
+        # over blocks) into NP/4 pairs and rerun with the full budget
+        unconv = fits & ~done_s
+        NB = (NP // 4) // PB * PB
+        key = jnp.where(unconv, 0, NP) + jnp.arange(NP)
+        idx2 = jnp.argsort(key)[:NB]   # unconv first, begin order kept
+        fits2 = unconv[idx2]
+        pb2 = pb_p[idx2]
+        sp2 = sp_p[idx2]
+        nb2 = NB // PB
+        # full-width windows: the stragglers are a sparse begin-ordered
+        # subsample, so their per-block begin spread is ~(1/unconv
+        # fraction) wider than phase A's — a Wb window would evict
+        # most of them. Their count is small; full width is cheap.
+        Wb2 = S_pad
+        offs2 = jnp.zeros((nb2,), jnp.int32)
+        act2 = jnp.any(fits2.reshape(nb2, PB), axis=1).astype(jnp.int32)
+        w2site = jnp.arange(Wb2)
+        bmask2 = ((w2site[None, :] >= pb2[:, None])
+                  & (w2site[None, :] < (pb2 + sp2)[:, None])
+                  & fits2[:, None])
+        loglB, pendB, distB, _, _, _ = (
+            blo_optimize_batch_pallas_blocked(
+                consts, tUg[idx2], tVg[idx2], tQg[idx2],
+                bmask2.astype(dtype), orig_p[idx2], offs2, ls_sum[idx2],
+                block_width=Wb2, max_smoothings=max_sm,
+                skip=1.0 - fits2.astype(dtype), block_active=act2))
+        logl_s = logl_s.at[idx2].set(jnp.where(fits2, loglB,
+                                               logl_s[idx2]))
+        pendant_s = pendant_s.at[idx2].set(jnp.where(fits2, pendB,
+                                                     pendant_s[idx2]))
+        distal_s = distal_s.at[idx2].set(jnp.where(fits2, distB,
+                                                   distal_s[idx2]))
+        handled = jnp.zeros((NP,), bool).at[idx2].set(fits2)
+        # phase-A stragglers that missed the phase-B budget (never
+        # seen in practice) re-place exactly via the engine fallback
+        computed_pair = fits & (done_s | handled)
+
+    # scatter results back to [B] pair slots; slots never dispatched
+    # (budget-halved tail) keep computed == 0 -> misfit redo
+    m = min(NP, B)
+
+    def unsort(x):
+        return jnp.zeros((B,), x.dtype).at[order[:m]].set(x[:m])
+
+    return (unsort(logl_s), unsort(pendant_s), unsort(distal_s),
+            unsort(computed_pair.astype(dtype)))
+
+
 def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
                    packed: bool, computed=None, filter_cfg=None,
                    filter_threshold=0.0, dynamic_budget: bool = True):
@@ -439,15 +466,214 @@ def _step_epilogue(top_edges, logl, pendant, distal, valid, dtype,
     return top_edges, logl, lwr, pendant, distal, valid, computed
 
 
+def _newton_xla_windowed_pairs(consts, tU, tV, ls, lengths, tQ, invq,
+                               flat_e, q_ids0, live, begins, spans,
+                               site_width, sliding: bool, phase1: int):
+    """XLA-kernel Newton stage over a flat [B] pair list with per-pair
+    site windows and two-phase convergence compaction — the fallback for
+    everything the Pallas kernel does not cover (CPU, AA/mixture, p-inv,
+    f64, raxml mode). Same contract as :func:`_newton_blocked_pallas`:
+    ``flat_e`` indexes this store, ``live`` marks pairs to compute, and
+    only slots with computed > 0 carry usable results."""
+    dtype = tU.dtype
+    S = tU.shape[2]
+    RK = tU.shape[1]
+    Kst = tQ.shape[1]
+    B = flat_e.shape[0]
+    W = S if site_width is None else min(site_width, S)
+    win_begin = jnp.minimum(begins, S - W)
+    local_begin = begins - win_begin
+
+    def pair(qi, e):
+        b = win_begin[qi].astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        tu = jax.lax.dynamic_slice(tU[e], (zero, b), (RK, W))
+        tv = jax.lax.dynamic_slice(tV[e], (zero, b), (RK, W))
+        tq = jax.lax.dynamic_slice(tQ[qi], (zero, b), (Kst, W))
+        l = jax.lax.dynamic_slice(ls[e], (b,), (W,))
+        iv = jax.lax.dynamic_slice(invq[qi], (b,), (W,))
+        wsite = jnp.arange(W)
+        m = ((wsite >= local_begin[qi])
+             & (wsite < local_begin[qi] + spans[qi])).astype(dtype)
+        return (tu, tv, tq, l, m, lengths[e], iv)
+
+    args = jax.vmap(pair)(q_ids0, flat_e)
+    # materialize the gathered pair tensors once; otherwise XLA fuses the
+    # edge gathers into every consumer inside the Newton loops
+    args = jax.lax.optimization_barrier(args)
+    max_sm = newton.SMOOTHINGS
+    # two-phase convergence compaction (see placement_step's XLA branch):
+    # run everything with a tiny smoothing cap, then rerun only the
+    # unconverged tail compacted into a B/4 budget with the full cap
+    two_phase = bool(phase1) and phase1 < max_sm and B >= 256
+    p1 = phase1 if two_phase else max_sm
+    logl, pendant, distal_rep, _, _, done = newton.blo_optimize_batch(
+        consts, *args, sliding=sliding, max_smoothings=p1)
+    computed = live
+    if two_phase:
+        unconv = live & ~done
+        NB = min(B, max(B // 4, 128))
+        key = jnp.where(unconv, 0, B) + jnp.arange(B)
+        idx2 = jnp.argsort(key)[:NB]
+        fits2 = unconv[idx2]
+        args2 = jax.tree_util.tree_map(lambda a: a[idx2], args)
+        loglB, pendB, distB, _, _, _ = newton.blo_optimize_batch(
+            consts, *args2, sliding=sliding, max_smoothings=max_sm)
+        logl = logl.at[idx2].set(jnp.where(fits2, loglB, logl[idx2]))
+        pendant = pendant.at[idx2].set(
+            jnp.where(fits2, pendB, pendant[idx2]))
+        distal_rep = distal_rep.at[idx2].set(
+            jnp.where(fits2, distB, distal_rep[idx2]))
+        handled = jnp.zeros((B,), bool).at[idx2].set(fits2)
+        computed = live & (done | handled)
+    return logl, pendant, distal_rep, computed.astype(dtype)
+
+
+def _spmd_step_body(consts, table, tU, tV, ls, lengths, codes, begins,
+                    spans, tQ, invq, threshold, filter_threshold, *,
+                    n_ep: int, topk: int, sliding: bool, site_width,
+                    use_pallas: bool, block_width, phase1: int,
+                    filter_cfg, heur_mode: str, packed: bool):
+    """Per-DEVICE body of the sharded placement step (runs under
+    ``jax.shard_map`` over the (dp, ep) mesh). Each device sees its local
+    query rows (dp shard) and its local edge rows (ep shard) and runs the
+    SAME single-chip kernels the plain engine uses — including the
+    blocked-Pallas Newton kernel with the pair-budget halving — matching
+    the reference's distributed mode, which keeps its full SIMD kernels
+    on every rank (src/core/place.cpp:64-171 under MPI).
+
+    Cross-device traffic is exactly two small collectives on the ep axis:
+    an all-gather of the per-shard top-k candidate (score, edge-id) pairs
+    for the heuristic merge, and a psum of the [B]-pair Newton results
+    (each pair is computed once, on the shard owning its edge's rows).
+    The dp axis needs no communication at all.
+    """
+    dtype = tU.dtype
+    El = tU.shape[0]          # local (ep-shard) edge rows
+    Q = codes.shape[0]        # local (dp-shard) query rows
+    ep_i = jax.lax.axis_index("ep")
+
+    scores = _preplace_scores(table, codes, begins, spans)    # [Q, El]
+
+    # --- heuristic candidate selection: local top-k, then a merge of the
+    # ep shards' candidate lists (scores/ids only — the lookup tensors
+    # themselves never move)
+    kl = min(topk, El)
+    ts_l, te_l = jax.lax.top_k(scores, kl)
+    te_g = te_l.astype(jnp.int32) + (ep_i * El).astype(jnp.int32)
+    if n_ep > 1:
+        ts_all = jax.lax.all_gather(ts_l, "ep", axis=1, tiled=True)
+        te_all = jax.lax.all_gather(te_g, "ep", axis=1, tiled=True)
+    else:
+        ts_all, te_all = ts_l, te_g
+    top_scores, sel = jax.lax.top_k(ts_all, topk)
+    top_edges = jnp.take_along_axis(te_all, sel, axis=1)
+
+    if heur_mode == "dynamic":
+        # same prefix-excludes-own-LWR rule as _select_topk; the softmax
+        # denominator sums over ALL edges, psum'd across the ep shards
+        m = top_scores[:, :1]
+        denom = jnp.sum(jnp.exp(scores - m), axis=1)
+        if n_ep > 1:
+            denom = jax.lax.psum(denom, "ep")
+        lwr_pre = jnp.exp(top_scores - m) / denom[:, None]
+        prefix = jnp.cumsum(lwr_pre, axis=1) - lwr_pre
+        valid = prefix < threshold
+    elif heur_mode == "fixed":
+        valid = jnp.ones(top_scores.shape, bool)
+    elif heur_mode == "baseball":
+        strike_box, max_strikes, max_pitches = 3.0, 6, 40
+        hits = jnp.sum(top_scores >= top_scores[:, :1] - strike_box,
+                       axis=1, keepdims=True)
+        total = jnp.minimum(hits + max_strikes, max_pitches)
+        valid = jnp.arange(topk)[None, :] < total
+    else:
+        raise ValueError(f"unknown heuristic mode: {heur_mode}")
+
+    # --- owner-partitioned Newton: the ep shard holding an edge's BLO
+    # rows computes its pairs (locally, with the single-chip kernel);
+    # everyone else's lanes are dead and sort into inactive blocks
+    flat_eg = top_edges.reshape(-1)
+    mine = (flat_eg // El) == ep_i
+    flat_e = jnp.where(mine, flat_eg - ep_i * El, 0)
+    q_ids0 = jnp.repeat(jnp.arange(Q), topk)
+    live = valid.reshape(-1) & mine
+
+    if use_pallas and block_width is not None:
+        logl, pendant, distal, computed = _newton_blocked_pallas(
+            consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0, live,
+            begins, spans, block_width,
+            halve_budget=(heur_mode == "dynamic"), phase1=phase1)
+    else:
+        logl, pendant, distal, computed = _newton_xla_windowed_pairs(
+            consts, tU, tV, ls, lengths, tQ, invq, flat_e, q_ids0, live,
+            begins, spans, site_width, sliding, phase1)
+
+    if n_ep > 1:
+        # every pair was computed on exactly one shard; non-computed slots
+        # hold garbage (frozen kernel lanes), so zero them before the sum
+        z = lambda x: jnp.where(computed > 0, x, 0).astype(dtype)
+        logl, pendant, distal, computed = jax.lax.psum(
+            (z(logl), z(pendant), z(distal), computed.astype(dtype)), "ep")
+
+    sh = (Q, topk)
+    return _step_epilogue(
+        top_edges, logl.reshape(sh), pendant.reshape(sh),
+        distal.reshape(sh), valid, dtype, packed,
+        computed=computed.reshape(sh), filter_cfg=filter_cfg,
+        filter_threshold=filter_threshold,
+        dynamic_budget=(heur_mode == "dynamic"))
+
+
+def _make_spmd_step(mesh: Mesh):
+    """The jitted shard_map'd placement step bound to one mesh."""
+    n_ep = mesh.shape["ep"]
+
+    @partial(jax.jit, static_argnames=("topk", "sliding", "site_width",
+                                       "use_pallas", "block_width",
+                                       "phase1", "filter_cfg", "heur_mode",
+                                       "packed"))
+    def step(consts, table, tU, tV, ls, lengths, codes, begins, spans,
+             tQ, invq, threshold, filter_threshold, topk: int = 8,
+             sliding: bool = True, site_width=None,
+             use_pallas: bool = False, block_width=None, phase1: int = 2,
+             filter_cfg=None, heur_mode: str = "dynamic",
+             packed: bool = False):
+        body = partial(_spmd_step_body, n_ep=n_ep, topk=topk,
+                       sliding=sliding, site_width=site_width,
+                       use_pallas=use_pallas, block_width=block_width,
+                       phase1=phase1, filter_cfg=filter_cfg,
+                       heur_mode=heur_mode, packed=packed)
+        e_sp, q_sp, r_sp = P("ep"), P("dp"), P()
+        in_specs = (r_sp, e_sp, e_sp, e_sp, e_sp, e_sp,
+                    q_sp, q_sp, q_sp, q_sp, q_sp, r_sp, r_sp)
+        if filter_cfg is not None or packed:
+            out_specs = P(None, "dp", None)
+        else:
+            out_specs = tuple(P("dp") for _ in range(7))
+        # check_vma=False: the Newton loop carries mix device-varying and
+        # replicated values (e.g. the bool convergence init), which the
+        # varying-manual-axes type check rejects; semantics are unaffected
+        return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(
+            consts, table, tU, tV, ls, lengths, codes, begins, spans,
+            tQ, invq, threshold, filter_threshold)
+
+    return step
+
+
 class ShardedPlacement:
     """Places the engine's tensors on a (dp, ep) mesh and runs the fused
     placement step with sharded inputs/outputs.
 
     Queries ride ``dp`` (data parallel), the lookup table and BLO store
     shard over ``ep`` (edge/model parallel — the multi-chip answer to
-    trees whose tensors exceed one chip's HBM). The Newton stage runs the
-    XLA kernel under GSPMD (the Pallas kernel is single-device; a
-    shard_map wrapper is future work)."""
+    trees whose tensors exceed one chip's HBM). The step itself is a
+    ``jax.shard_map`` program (:func:`_spmd_step_body`): every device
+    runs the plain engine's single-chip kernels — including the
+    blocked-Pallas Newton kernel where supported — on its local shard,
+    with two small ep-axis collectives (candidate merge, pair-result
+    psum) stitching the shards together."""
 
     def __init__(self, engine, mesh: Mesh, topk: int = 8):
         self.engine = engine
@@ -488,35 +714,40 @@ class ShardedPlacement:
         self.lengths = jax.device_put(pad_e(blo.lengths), edge_sh)
         self.consts = jax.device_put(engine.consts, repl)
         self.qspec = NamedSharding(mesh, P("dp"))
+        self._step_fn = _make_spmd_step(mesh)
 
     def step(self, codes, begins, spans, tQ, invq):
         put = partial(jax.device_put, device=self.qspec)
-        return placement_step(
+        return self._step_fn(
             self.consts, self.table, self.tU, self.tV, self.ls,
             self.lengths, put(codes), put(begins), put(spans), put(tQ),
             put(invq),
             jnp.asarray(self.engine.options.prescoring_threshold,
                         self.tU.dtype),
+            jnp.asarray(0.0, self.tU.dtype),
             topk=self.topk, sliding=self.engine.options.sliding_blo,
             site_width=chunk_site_width(spans, self.tU.shape[2]))
 
     def fused_step(self, codes, begins, spans, tQ, invq, *, topk: int,
                    sliding: bool, site_width: int, filter_cfg,
-                   filter_threshold, heur_mode: str):
+                   filter_threshold, heur_mode: str,
+                   use_pallas: bool = False, block_width=None,
+                   phase1: int = 2):
         """The engine's full fused dispatch (packed + device-side filter)
         over the mesh — the sharded twin of the single-device call in
-        PlacementEngine._dispatch_chunk_fused."""
+        PlacementEngine._dispatch_chunk_fused, running the SAME kernels
+        per device under shard_map."""
         put = partial(jax.device_put, device=self.qspec)
-        return placement_step(
+        return self._step_fn(
             self.consts, self.table, self.tU, self.tV, self.ls,
             self.lengths, put(codes), put(begins), put(spans), put(tQ),
             put(invq),
             jnp.asarray(self.engine.options.prescoring_threshold,
                         self.tU.dtype),
+            jnp.asarray(filter_threshold, self.tU.dtype),
             topk=topk, sliding=sliding, site_width=site_width,
-            packed=True, use_pallas=False, block_width=None,
-            filter_cfg=filter_cfg, filter_threshold=filter_threshold,
-            heur_mode=heur_mode)
+            use_pallas=use_pallas, block_width=block_width, phase1=phase1,
+            filter_cfg=filter_cfg, heur_mode=heur_mode, packed=True)
 
     def preplace(self, codes, begins, spans) -> np.ndarray:
         """[Q, E] preplacement scores computed against the ep-sharded
