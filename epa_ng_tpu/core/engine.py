@@ -898,6 +898,13 @@ class PlacementEngine:
                     tQ, jnp.asarray(pair_e[pad]), jnp.asarray(pair_q[pad]),
                     jnp.asarray(pb), jnp.asarray(spans[pair_q[pad]]),
                     jnp.asarray(offs), Wb, cap)
+                # async host copies: without these every slab's np.asarray
+                # below pays a full host<->device round trip SERIALLY —
+                # measured 0.03s x 4 arrays x 134 slabs = 17s of pure
+                # latency on a --no-heur chunk through the TPU tunnel,
+                # 20x the actual device time
+                for a in res:
+                    _start_host_copy(a)
                 pending.append((sel, n, res))
             for sel, n, (logl, pendant, distal_rep, done) in pending:
                 out_logl[sel] = np.asarray(logl)[:n]
@@ -941,6 +948,8 @@ class PlacementEngine:
                         jnp.asarray(begins[pair_q[pad]] - b_np),
                         jnp.asarray(spans[pair_q[pad]]),
                         int(W), opts.sliding_blo, cap, use_pallas)
+                    for a in res:
+                        _start_host_copy(a)
                     pending.append((sel, n, res))
             # dispatch-all-then-read: see run_blocked
             for sel, n, (logl, pendant, distal_rep, done) in pending:
