@@ -386,6 +386,127 @@ def run_extra_configs():
     return out
 
 
+def run_roofline():
+    """Roofline accounting for the blocked-Pallas Newton kernel: achieved
+    vector-op/s and HBM bytes/s against the chip's peaks, so "distance
+    from roofline" is a number (VERDICT r03 missing #2). TPU only.
+
+    Method: a 4096-pair pre-gathered batch is timed at max_smoothings=2
+    (on this workload no block converges within 1 smoothing, so every
+    block executes exactly 2 — the op count is then known, not guessed).
+    Vector-op model of ops/pallas_blo._blo_compute, counting each [W, PB]
+    elementwise tile op as W*PB lane-ops:
+
+      per smoothing: 2x back_transform (124 each) + 2x contract_T (~136
+      avg) + T2 epilogue (16) + score (35) + 2 Newton solves x ~6 iters
+      x 90  ->  ~1900 tile-ops x W per pair
+      prologue (T_init + first score): ~427 x W per pair
+
+    The Newton iteration count (~6 per solve, lock-step max over each
+    128-lane block) is the one estimated constant; everything else is
+    structural. Peaks (TPU v5e): VPU = 8x128 lanes x 4 ALUs x 0.94 GHz
+    = 3.85e12 lane-ops/s; HBM = 819 GB/s (~0.7-0.8 sustainable).
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return None
+
+    from epa_ng_tpu.core.engine import PlacementEngine, _blo_blocked
+    from epa_ng_tpu.models import Model
+    from epa_ng_tpu.ops.pallas_blo import (PB,
+                                           blo_optimize_batch_pallas_blocked,
+                                           plan_blocks_pairs)
+    from epa_ng_tpu.utils.options import Options
+    from epa_ng_tpu.utils.synth import synth_dataset
+
+    tree, ref, qry = synth_dataset(n_taxa=256, sites=256, n_queries=1024,
+                                   seed=17)
+    engine = PlacementEngine(tree, ref, Model.from_string(MODEL),
+                             Options(compute_dtype="f32"))
+    ec = engine.encode_msa(qry)
+    perm = np.argsort(ec.ranges[:, 0], kind="stable")
+    codes, ranges = ec.codes[perm], ec.ranges[perm]
+    tQ, invq = engine._query_tensors_codes(codes)
+    blo = engine.blo
+    S = engine.num_sites
+    P = 4096
+    rng = np.random.default_rng(3)
+    q_ids = np.sort(rng.integers(0, len(codes), P)).astype(np.int32)
+    e_ids = rng.integers(0, engine.num_edges, P).astype(np.int32)
+    begins = ranges[q_ids, 0].astype(np.int32)
+    spans = ranges[q_ids, 1].astype(np.int32)
+    offs, Wb = plan_blocks_pairs(begins, begins + spans, S)
+
+    tUg = jnp.asarray(np.asarray(blo.tU)[e_ids])
+    tVg = jnp.asarray(np.asarray(blo.tV)[e_ids])
+    tQg = jnp.asarray(np.asarray(tQ)[q_ids])
+    site = np.arange(S)
+    fullmask = ((site[None, :] >= begins[:, None])
+                & (site[None, :] < (begins + spans)[:, None])
+                ).astype(np.float32)
+    ls_sum = jnp.asarray((fullmask * np.asarray(blo.ls)[e_ids]).sum(1))
+    local = begins - np.repeat(offs, PB)
+    w = np.arange(Wb)
+    bmask = jnp.asarray(((w[None, :] >= local[:, None])
+                         & (w[None, :] < (local + spans)[:, None])
+                         ).astype(np.float32))
+    olen = jnp.asarray(np.asarray(blo.lengths)[e_ids])
+    offs_j = jnp.asarray(offs)
+
+    def timeit(f, reps=10):
+        jax.block_until_ready(f())
+        t0 = time.perf_counter()
+        outs = [f() for _ in range(reps)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / reps
+
+    # sanity: the "exactly 2 smoothings" premise
+    done1 = np.asarray(blo_optimize_batch_pallas_blocked(
+        engine.consts, tUg, tVg, tQg, bmask, olen, offs_j, ls_sum,
+        block_width=Wb, max_smoothings=1)[5])
+    kernel = lambda sm: blo_optimize_batch_pallas_blocked(
+        engine.consts, tUg, tVg, tQg, bmask, olen, offs_j, ls_sum,
+        block_width=Wb, max_smoothings=sm)
+    t2 = timeit(lambda: kernel(2))
+    t_full = timeit(lambda: kernel(32))
+    # gather+transpose prologue cost (the full jitted dispatch, minus the
+    # kernel time at the same smoothing cap)
+    t_disp = timeit(lambda: _blo_blocked(
+        engine.consts, blo.tU, blo.tV, blo.ls, blo.lengths, tQ,
+        jnp.asarray(e_ids), jnp.asarray(q_ids), jnp.asarray(begins),
+        jnp.asarray(spans), offs_j, Wb, 2))
+
+    OPS_PER_SMOOTH = 1900     # tile-ops x W per pair (docstring model)
+    OPS_PROLOGUE = 427
+    lane_ops = P * Wb * (OPS_PROLOGUE + 2 * OPS_PER_SMOOTH)
+    achieved = lane_ops / t2
+    VPU_PEAK = 8 * 128 * 4 * 0.94e9        # lane-ops/s, v5e
+    # kernel HBM traffic: per-block DMA of tU/tV/tQ windows + tiny outputs
+    n_blocks = P // PB
+    hbm_bytes = n_blocks * (2 * 16 + 4) * Wb * PB * 4
+    HBM_PEAK = 819e9
+    return {
+        "pairs": P, "window": Wb, "kernel_s_2smooth": round(t2, 5),
+        "kernel_s_full": round(t_full, 5),
+        "dispatch_s_2smooth": round(t_disp, 5),
+        "gather_overhead_s": round(max(0.0, t_disp - t2), 5),
+        "done_frac_after_1_smooth": round(float(done1.mean()), 4),
+        "achieved_vector_gops": round(achieved / 1e9, 1),
+        "vpu_peak_gops": round(VPU_PEAK / 1e9, 1),
+        "vpu_util": round(achieved / VPU_PEAK, 4),
+        "kernel_hbm_gb_per_s": round(hbm_bytes / t2 / 1e9, 2),
+        "hbm_peak_gb_per_s": round(HBM_PEAK / 1e9, 1),
+        "note": ("VPU-compute-bound: the kernel's working set is "
+                 "VMEM-resident, so HBM traffic is the one-time window "
+                 "DMA; the op model's Newton iteration count (6/solve) "
+                 "is estimated, all other constants are structural"),
+    }
+
+
 def run_pallas_parity():
     """On-hardware equality gate: the SAME pair batch run through
     blo_optimize_batch_pallas (per-pair windows), the blocked-window
@@ -569,6 +690,15 @@ def main():
                 result["vs_baseline"] = round(
                     e2e["qps"] / REFERENCE_NODE_QPS, 3)
             tick("e2e", t0)
+    if mode in ("all", "--roofline"):
+        if mode == "all" and over_budget():
+            skipped.append("roofline")
+        else:
+            t0 = time.perf_counter()
+            roof = run_roofline()
+            result["roofline"] = (roof if roof is not None
+                                  else "skipped (not on TPU)")
+            tick("roofline", t0)
     if mode in ("all", "--extra"):
         if mode == "all" and over_budget():
             skipped.append("extra")
