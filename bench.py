@@ -586,6 +586,43 @@ def run_pallas_parity():
             f"{a.edge_nums[0]} vs {b.edge_nums[0]}")
     assert fe_rel <= 1e-4, f"fused/exact logl divergence on TPU: {fe_rel}"
 
+    # --- AA (K=20) kernel parity ON HARDWARE: same gate for the protein
+    # instantiation of the kernel (blocked variant vs the XLA path)
+    from epa_ng_tpu.utils.synth import AA as AA_ALPHABET
+    atree, aref, aqry = synth_dataset(n_taxa=64, sites=128, n_queries=64,
+                                      seed=12, alphabet=AA_ALPHABET)
+    aeng = PlacementEngine(atree, aref, Model.from_string("LG+G4{0.8}"),
+                           Options(compute_dtype="f32"))
+    aec = aeng.encode_msa(MSA(sequences=aqry.sequences,
+                              num_sites=aqry.num_sites))
+    aperm = np.argsort(aec.ranges[:, 0], kind="stable")
+    acodes, aranges = aec.codes[aperm], aec.ranges[aperm]
+    atQ, ainvq = aeng._query_tensors_codes(acodes)
+    aP = 256
+    aq = np.repeat(np.arange(64, dtype=np.int32), aP // 64)
+    ae = rng.integers(0, aeng.num_edges, size=aP).astype(np.int32)
+    ab = aranges[aq, 0].astype(np.int32)
+    asp = aranges[aq, 1].astype(np.int32)
+    ablo = aeng.blo
+    aS = aeng.num_sites
+    a_xla = _blo_windowed(aeng.consts, ablo.tU, ablo.tV, ablo.ls,
+                          ablo.lengths, atQ, ainvq, jnp.asarray(ae),
+                          jnp.asarray(aq), jnp.zeros(aP, jnp.int32),
+                          jnp.asarray(ab), jnp.asarray(asp),
+                          width=aS, sliding=True,
+                          max_smoothings=newton.SMOOTHINGS,
+                          use_pallas=False)
+    aoffs, aWb = plan_blocks_pairs(ab, ab + asp, aS)
+    a_blk = _blo_blocked(aeng.consts, ablo.tU, ablo.tV, ablo.ls,
+                         ablo.lengths, atQ, jnp.asarray(ae),
+                         jnp.asarray(aq), jnp.asarray(ab),
+                         jnp.asarray(asp), jnp.asarray(aoffs), aWb,
+                         newton.SMOOTHINGS)
+    alx = np.asarray(a_xla[0])
+    aa_rel = float(np.max(np.abs(np.asarray(a_blk[0]) - alx)
+                          / np.maximum(1.0, np.abs(alx))))
+    assert aa_rel <= 1e-4, f"AA Pallas/XLA divergence on hardware: {aa_rel}"
+
     lx = np.asarray(xla[0])
     d_pal = float(np.max(np.abs(np.asarray(pal[0]) - lx)))
     d_blk = float(np.max(np.abs(np.asarray(blk[0]) - lx)))
@@ -604,6 +641,7 @@ def run_pallas_parity():
     return {"parity": bool(rel <= 1e-4), "max_abs_diff": max_d,
             "max_rel_diff": rel,
             "per_pair_vs_xla": d_pal, "blocked_vs_xla": d_blk,
+            "aa_blocked_vs_xla_rel": aa_rel,
             "fused_exact_max_rel": fe_rel}
 
 

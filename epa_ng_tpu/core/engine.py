@@ -157,11 +157,13 @@ class PlacementEngine:
         ``dp`` axis, the lookup table and BLO store shard over ``ep`` so
         trees whose tensors exceed one chip's HBM spread across the slice
         (the multi-chip answer to the reference's -b paging,
-        src/tree/Tree.cpp:80-117). The fused dispatch, wide redo and
-        preplacement then run against the sharded tensors under GSPMD
-        (XLA Newton kernel; the Pallas kernel is single-device); the rare
-        exact-redo fallback gathers per-pair windows from HOST copies of
-        the BLO store, so no full-size device replica survives."""
+        src/tree/Tree.cpp:80-117). The fused dispatch and wide redo then
+        run the shard_map'd step (parallel.mesh._spmd_step_body): every
+        device executes the plain engine's single-chip kernels — on TPU
+        including the blocked-Pallas Newton kernel — on its local shard;
+        the rare exact-redo fallback gathers per-pair windows from HOST
+        copies of the BLO store, so no full-size device replica
+        survives."""
         from epa_ng_tpu.parallel.mesh import ShardedPlacement
         if self.options.memsave:
             raise ValueError("--mesh and --memsave are mutually exclusive")
@@ -368,7 +370,8 @@ class PlacementEngine:
 
     def _use_pallas(self, width: int) -> bool:
         """Dispatch the Newton stage to the Pallas kernel? TPU backend,
-        DNA, pinv=0, f32, sliding mode only. In mesh mode the kernel runs
+        DNA (K=4) or protein (K=20) single-matrix model, pinv=0, f32,
+        sliding mode only. In mesh mode the kernel runs
         per device inside the shard_map'd step (every chip keeps the
         single-chip kernel, like the reference's per-rank SIMD kernels
         under MPI, src/core/place.cpp:64-171)."""
@@ -381,7 +384,8 @@ class PlacementEngine:
               and jax.default_backend() == "tpu")
         if opt == "on" and not ok:
             raise ValueError(
-                "pallas=on requires a TPU backend, DNA, pinv=0, f32, "
+                "pallas=on requires a TPU backend, a DNA/AA "
+                "single-matrix model, pinv=0, f32, "
                 "sliding BLO")
         return ok
 
@@ -476,7 +480,16 @@ class PlacementEngine:
                                      * self.num_edges)), self.num_edges)
         if mode == "baseball":
             return min(40, self.num_edges)
-        return min(opts.fused_topk, self.num_edges)
+        topk = opts.fused_topk
+        if self.model.num_states >= 20 and topk == type(opts)().fused_topk:
+            # 20-state posteriors are far flatter than DNA's (the same
+            # physics that rejected the pair-budget halving for AA,
+            # docs/PERF.md): at the DNA default budget ~12% of AA queries
+            # saturate and every chunk pays a serialized wide redo —
+            # measured 2.2x slower than a 32 budget on the AA bench
+            # config. Applies only when the user left the default.
+            topk = max(topk, 32)
+        return min(topk, self.num_edges)
 
     def finalize_chunk(self, handle) -> list:
         """Sync + assemble a pending chunk from place_chunk_async."""

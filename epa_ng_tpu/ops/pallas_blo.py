@@ -21,8 +21,10 @@ Inputs are the pre-transformed per-pair windows produced by
 ops.newton.transform_edges / transform_queries — the same tensors the XLA
 fallback consumes — so the only prologue work here is a transpose to the
 kernel layout: pairs ride the 128-lane axis; tiles are [W, PB] per (r,k)
-slice. DNA (K=4) and pinv=0 only; larger states / pinv use the XLA path
-(ops.newton).
+slice. The state count is a trace-time constant derived from the ref
+shapes: DNA (K=4) and protein (K=20) single-matrix models, pinv=0 only;
+matrix mixtures / pinv use the XLA path (ops.newton). Wider states trade
+window width for VMEM (blo_supported's RK*W budget).
 """
 
 from __future__ import annotations
@@ -40,11 +42,16 @@ from epa_ng_tpu.ops.newton import (BRLEN_DEFAULT, BRLEN_MAX, BRLEN_MIN,
                                    OPT_BRANCH_EPSILON, SMOOTHINGS)
 
 PB = 128          # pairs per block (lane dimension)
-MAX_KERNEL_SITES = 1024  # VMEM budget bound on the window width
+MAX_KERNEL_SITES = 1024  # VMEM budget bound on the window width (K=4)
+# joint (states x rates) x window VMEM budget: the kernel keeps ~5 live
+# [RK, W, PB] f32 tile sets (tU/tV scratch + back-transform/sumtable
+# temporaries), so RK * W is the scaling knob. 24576 = the K=4 bound
+# (16 * 1536) derated; for K=20 (RK=80) it caps the window at 256.
+MAX_RK_SITES = 24576
 
-R = 4
-K = 4
-RK = R * K
+
+def max_kernel_sites(rk: int) -> int:
+    return min(MAX_KERNEL_SITES, MAX_RK_SITES // rk // 32 * 32)
 
 
 def _blo_kernel(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
@@ -132,6 +139,11 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
     W = tU_ref.shape[1]
     dtype = tU_ref.dtype
     tiny = jnp.finfo(dtype).tiny
+    # state/rate counts are trace-time constants of the ref shapes (DNA
+    # K=4 and protein K=20 instantiate the same kernel)
+    K = tQ_ref.shape[0]
+    RK = tU_ref.shape[0]
+    R = RK // K
 
     # All per-pair state is kept 2-D [1, PB]: 1-D (and especially bool)
     # loop carries trip Mosaic layout inference.
@@ -336,6 +348,8 @@ def _kernel_scalars(consts, dtype):
     plain A [K, K], and piA [K, K] (pi_i * A[i,k]). The kernel evaluates
     the trilinear G-form through its factorization
     G[k1,k2,k3] = sum_i pi_i A_ik1 A_ik2 A_ik3."""
+    K = consts.A.shape[0]
+    RK = consts.rates.shape[0] * K
     x_rk = (consts.eigenvals[None, :]
             * consts.rates[:, None]).reshape(RK, 1)
     wA = (consts.weights[:, None, None]
@@ -346,12 +360,14 @@ def _kernel_scalars(consts, dtype):
 
 
 def blo_supported(consts, width: int, sliding: bool = True) -> bool:
+    if consts.A.ndim != 2:  # matrix mixtures take the XLA path
+        return False
+    k = int(consts.A.shape[0])
+    rk = k * int(consts.rates.shape[0])
     return (sliding
-            and consts.A.ndim == 2  # matrix mixtures take the XLA path
-            and int(consts.A.shape[0]) == K
-            and int(consts.rates.shape[0]) == R
+            and k in (4, 20)
             and float(consts.pinv) == 0.0
-            and width <= MAX_KERNEL_SITES
+            and width <= max_kernel_sites(rk)
             and consts.A.dtype == jnp.float32)
 
 
@@ -365,8 +381,8 @@ def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
     pre-transformed windows; tQ [B, K, W]; ls, site_mask [B, W];
     orig_len [B]. ``inv_logfreq`` is accepted for signature parity and must
     be all -inf (pinv == 0)."""
-    B, RK_, W = tU.shape
-    assert RK_ == RK
+    B, RK, W = tU.shape
+    K = tQ.shape[1]
     dtype = tU.dtype
 
     n_blocks = -(-B // PB)
@@ -452,8 +468,9 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
     — inactive blocks bypass DMA and compute entirely (the fused step
     sorts heuristic-cut pairs to the tail so whole blocks die).
     """
-    NP, RK_, S = tUg.shape
-    assert RK_ == RK and NP % PB == 0, (NP, RK_)
+    NP, RK, S = tUg.shape
+    K = tQg.shape[1]
+    assert NP % PB == 0, NP
     Wb = block_width
     dtype = tUg.dtype
     n_blocks = NP // PB

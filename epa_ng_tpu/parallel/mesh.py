@@ -17,10 +17,11 @@ gathers cross the ``ep`` axis).
 
 The fully-jitted :func:`placement_step` is the engine's hot loop as ONE
 XLA computation (preplace -> top-k select -> batched Newton -> LWR); the
-host engine uses it chunk by chunk, and the driver's multi-chip dryrun
-compiles it over an N-device mesh. On a single TPU chip the Newton stage
-dispatches to the VMEM-resident Pallas kernel (``use_pallas=True``); the
-sharded/CPU/AA/p-inv paths use the XLA kernel.
+host engine uses it chunk by chunk. The mesh path runs the shard_map'd
+twin (:func:`_spmd_step_body`), where every device executes the same
+single-chip program on its local shard. On TPU the Newton stage
+dispatches to the VMEM-resident Pallas kernel (``use_pallas=True``, DNA
+and AA instantiations); CPU/mixture/p-inv paths use the XLA kernel.
 """
 
 from __future__ import annotations
@@ -286,7 +287,7 @@ def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
     recursion is deterministic from the fixed init.
     """
     from epa_ng_tpu.ops.pallas_blo import (
-        MAX_KERNEL_SITES, PB, blo_optimize_batch_pallas_blocked)
+        PB, blo_optimize_batch_pallas_blocked, max_kernel_sites)
     dtype = tU.dtype
     S = tU.shape[2]
     site = jnp.arange(S)
@@ -342,7 +343,7 @@ def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
              & fits[:, None])
     max_sm = newton.SMOOTHINGS
     two_phase = (bool(phase1) and phase1 < max_sm and NP >= 4 * PB
-                 and S_pad <= MAX_KERNEL_SITES)  # phase B is full-width
+                 and S_pad <= max_kernel_sites(tU.shape[1]))  # B: full-width
     p1 = phase1 if two_phase else max_sm
     logl_s, pendant_s, distal_s, _, _, done_s = (
         blo_optimize_batch_pallas_blocked(

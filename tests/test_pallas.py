@@ -53,6 +53,43 @@ def test_pallas_blo_matches_xla_interpret():
     assert np.asarray(pal_out[5]).dtype == np.bool_
 
 
+def test_pallas_blo_aa_matches_xla_interpret():
+    """K=20 instantiation of the same kernel (protein models): the state
+    count is a trace-time constant derived from the ref shapes."""
+    from epa_ng_tpu.utils.synth import AA
+
+    tree, ref, qry = synth_dataset(n_taxa=12, sites=64, n_queries=8, seed=7,
+                                   alphabet=AA)
+    eng = PlacementEngine(tree, ref, Model.from_string("LG+G4{0.8}"),
+                          Options(compute_dtype="f32"))
+    assert blo_supported(eng.consts, 64)
+    assert not blo_supported(eng.consts, 512)  # K=20 VMEM width cap
+    blo = eng.blo
+    codes, qmasks, ranges = eng._encode_chunk(qry)
+    tQ, invq = eng._query_tensors(qmasks)
+    site = np.arange(64)
+    sm = jnp.asarray(((site[None, :] >= ranges[:, :1])
+                      & (site[None, :] < ranges[:, :1] + ranges[:, 1:2])),
+                     jnp.float32)
+    rng = np.random.default_rng(2)
+    P = 24
+    pe = jnp.asarray(rng.integers(0, eng.num_edges, P, dtype=np.int32))
+    pq = jnp.asarray(rng.integers(0, 8, P, dtype=np.int32))
+
+    args = (eng.consts, blo.tU[pe], blo.tV[pe], tQ[pq], blo.ls[pe],
+            sm[pq], blo.lengths[pe], invq[pq])
+    ref_out = newton.blo_optimize_batch(*args, sliding=True)
+    pal_out = blo_optimize_batch_pallas(*args, interpret=True)
+
+    logl_diff = np.abs(np.asarray(ref_out[0]) - np.asarray(pal_out[0]))
+    assert logl_diff.max() < 0.05, logl_diff.max()
+    sharp = logl_diff < 1e-3
+    pd = np.abs(np.asarray(ref_out[1]) - np.asarray(pal_out[1]))[sharp]
+    dd = np.abs(np.asarray(ref_out[2]) - np.asarray(pal_out[2]))[sharp]
+    assert pd.max() < 0.05
+    assert dd.max() < 0.05
+
+
 def test_pallas_blocked_matches_plain_interpret():
     """The blocked-window variant (full-row gathers + per-block site-window
     DMA, ops.pallas_blo.blo_optimize_batch_pallas_blocked) must match the
