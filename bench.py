@@ -190,9 +190,12 @@ def run_e2e():
 
 
 def _measure_engine(tree, ref, qry, opts, chunk: int,
-                    engine_kind: str = "device", mesh_spec=None):
+                    engine_kind: str = "device", mesh_spec=None,
+                    reps: int = 1):
     """Chunk-pipelined engine throughput (dispatch all, then finalize all)
-    with a first-chunk warmup; returns queries/s."""
+    with a first-chunk warmup; returns queries/s (best of ``reps`` —
+    relay jitter and one-off redo-shape compiles land in the first
+    timed pass)."""
     import jax
 
     from epa_ng_tpu.core import chunk as chunk_mod
@@ -218,33 +221,50 @@ def _measure_engine(tree, ref, qry, opts, chunk: int,
         n += len(msa)
     # warmup / compile
     engine.finalize_chunk(engine.place_encoded_async(ecs[0]))
-    t0 = time.perf_counter()
-    handles = [engine.place_encoded_async(ec) for ec in ecs]
-    for h in handles:
-        engine.finalize_chunk(h)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        handles = [engine.place_encoded_async(ec) for ec in ecs]
+        for h in handles:
+            engine.finalize_chunk(h)
+        dt = min(dt, time.perf_counter() - t0)
     return n / dt, dt, engine
 
 
-def run_extra_configs():
+def run_extra_configs(deadline: float | None = None):
     """Perf evidence beyond the headline point: AA (20-state), --no-heur
-    (the exhaustive Q x E Newton sweep), and a 2048-taxon tree. Reports
-    q/s plus a rough kernel roofline for the no-heur sweep."""
+    (the exhaustive Q x E Newton sweep), evolved-query accuracy, --mesh
+    1x1, a 2048-taxon tree, pattern compression, --memsave. Most of the
+    section's wall time is engine-init compile-cache loads, so with a
+    cold cache it can exceed the bench budget: ``deadline`` (a
+    time.perf_counter() value) makes the section stop between sub-configs
+    and record what it skipped instead of blowing the budget."""
     from epa_ng_tpu.utils.options import Options
     from epa_ng_tpu.utils.synth import AA, synth_dataset
 
     out = {}
 
+    def out_of_time(name: str) -> bool:
+        if deadline is not None and time.perf_counter() > deadline:
+            out.setdefault("skipped_over_budget", []).append(name)
+            return True
+        return False
+
     # AA: 20 states, 4 rate cats -> RK=80 sublane rows per pair
+    if out_of_time("aa"):
+        return out
     tree, ref, qry = synth_dataset(n_taxa=256, sites=256, n_queries=2048,
                                    seed=13, alphabet=AA)
     qps, dt, _ = _measure_engine(
         tree, ref, qry, {"model": "LG+G4{0.8}",
-                         "options": Options(compute_dtype="f32")}, 512)
+                         "options": Options(compute_dtype="f32")}, 512,
+        reps=2)
     out["aa"] = {"qps": round(qps, 2), "taxa": 256, "sites": 256,
                  "queries": 2048, "wall_s": round(dt, 3)}
 
     # --no-heur: thorough Newton on EVERY (query, edge) pair
+    if out_of_time("noheur"):
+        return out
     tree, ref, qry = synth_dataset(n_taxa=256, sites=256, n_queries=1024,
                                    seed=17)
     qps, dt, eng = _measure_engine(
@@ -271,6 +291,8 @@ def run_extra_configs():
     # pair-budget halving's live-fraction assumption (docs/PERF.md).
     import numpy as _np
 
+    if out_of_time("accuracy_evolved"):
+        return out
     from epa_ng_tpu.core.engine import PlacementEngine as _PE
     from epa_ng_tpu.models import Model as _Model
     from epa_ng_tpu.utils.synth import evolved_dataset
@@ -312,21 +334,26 @@ def run_extra_configs():
     # VERDICT r03's top item was that --mesh abandoned the flagship
     # kernel; now it keeps it. Measured against a plain engine on the
     # identical workload/pipeline.
+    if out_of_time("mesh1x1"):
+        return out
     tree, ref, qry = synth_dataset(n_taxa=N_TAXA, sites=SITES,
                                    n_queries=4096, seed=7)
     qps_plain, _, _ = _measure_engine(
         tree, ref, qry, {"model": MODEL,
-                         "options": Options(compute_dtype="f32")}, 1024)
+                         "options": Options(compute_dtype="f32")}, 1024,
+        reps=2)
     qps_mesh, dt, _ = _measure_engine(
         tree, ref, qry, {"model": MODEL,
                          "options": Options(compute_dtype="f32")}, 1024,
-        mesh_spec=(1, 1))
+        mesh_spec=(1, 1), reps=2)
     out["mesh1x1"] = {
         "qps": round(qps_mesh, 2), "plain_qps": round(qps_plain, 2),
         "ratio_vs_plain": round(qps_mesh / qps_plain, 3),
         "taxa": N_TAXA, "queries": 4096, "wall_s": round(dt, 3)}
 
     # big tree: 2048 taxa = 4093 edges
+    if out_of_time("bigtree"):
+        return out
     tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
                                    seed=19)
     qps, dt, _ = _measure_engine(
@@ -344,6 +371,8 @@ def run_extra_configs():
     from epa_ng_tpu.core.engine import PlacementEngine
     from epa_ng_tpu.models import Model
 
+    if out_of_time("patterns"):
+        return out
     tree, ref, _ = synth_dataset(n_taxa=512, sites=2048, n_queries=1,
                                  seed=23, n_patterns=256)
 
@@ -372,6 +401,8 @@ def run_extra_configs():
     # --memsave out-of-core mode: the q/s cost of host-resident state
     # (evidence for the "dominates the reference's disk paging" claim in
     # core.memsave; same workload as the bigtree config above)
+    if out_of_time("memsave"):
+        return out
     tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
                                    seed=19)
     qps, dt, eng = _measure_engine(
@@ -742,7 +773,8 @@ def main():
             skipped.append("extra")
         else:
             t0 = time.perf_counter()
-            result["configs"] = run_extra_configs()
+            result["configs"] = run_extra_configs(
+                deadline=t_start + budget_s)
             tick("extra", t0)
 
     if skipped:

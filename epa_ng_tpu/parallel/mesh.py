@@ -342,8 +342,12 @@ def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
              & (wsite[None, :] < (local + sp_p)[:, None])
              & fits[:, None])
     max_sm = newton.SMOOTHINGS
+    # phase B runs a min(S_pad, 2*Wb)-wide window, so it only needs THAT
+    # inside the kernel's VMEM budget (wide alignments with narrow reads
+    # two-phase fine)
     two_phase = (bool(phase1) and phase1 < max_sm and NP >= 4 * PB
-                 and S_pad <= max_kernel_sites(tU.shape[1]))  # B: full-width
+                 and min(S_pad, max(2 * Wb, 128))
+                 <= max_kernel_sites(tU.shape[1]))
     p1 = phase1 if two_phase else max_sm
     logl_s, pendant_s, distal_s, _, _, done_s = (
         blo_optimize_batch_pallas_blocked(
@@ -363,16 +367,28 @@ def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
         pb2 = pb_p[idx2]
         sp2 = sp_p[idx2]
         nb2 = NB // PB
-        # full-width windows: the stragglers are a sparse begin-ordered
-        # subsample, so their per-block begin spread is ~(1/unconv
-        # fraction) wider than phase A's — a Wb window would evict
-        # most of them. Their count is small; full width is cheap.
-        Wb2 = S_pad
-        offs2 = jnp.zeros((nb2,), jnp.int32)
+        # phase-B windows: the stragglers are a sparse begin-ordered
+        # subsample, so each phase-B block's begin spread is ~(1/unconv
+        # fraction) wider than phase A's. A doubled window absorbs that
+        # in practice (the spread scales with the data's begin density,
+        # the span term is unchanged); the rare straggler it evicts is
+        # flagged uncomputed like any window misfit and re-placed
+        # exactly. Falls back to full width when doubling wouldn't
+        # actually save anything.
+        Wb2 = min(S_pad, max(2 * Wb, 128))
+        if Wb2 >= S_pad:
+            Wb2 = S_pad
+            offs2 = jnp.zeros((nb2,), jnp.int32)
+        else:
+            pbm2 = jnp.where(fits2, pb2, big).reshape(nb2, PB)
+            offs2 = (jnp.min(pbm2, axis=1) // 8) * 8
+            offs2 = jnp.clip(offs2, 0, S_pad - Wb2).astype(jnp.int32)
+        local2 = pb2 - jnp.repeat(offs2, PB)
+        fits2 = fits2 & (local2 + sp2 <= Wb2)
         act2 = jnp.any(fits2.reshape(nb2, PB), axis=1).astype(jnp.int32)
         w2site = jnp.arange(Wb2)
-        bmask2 = ((w2site[None, :] >= pb2[:, None])
-                  & (w2site[None, :] < (pb2 + sp2)[:, None])
+        bmask2 = ((w2site[None, :] >= local2[:, None])
+                  & (w2site[None, :] < (local2 + sp2)[:, None])
                   & fits2[:, None])
         loglB, pendB, distB, _, _, _ = (
             blo_optimize_batch_pallas_blocked(
