@@ -358,7 +358,8 @@ def run_extra_configs(deadline: float | None = None):
                                    seed=19)
     qps, dt, _ = _measure_engine(
         tree, ref, qry, {"model": MODEL,
-                         "options": Options(compute_dtype="f32")}, 512)
+                         "options": Options(compute_dtype="f32")}, 512,
+        reps=2)
     out["bigtree"] = {"qps": round(qps, 2), "taxa": 2048, "edges": 4093,
                       "queries": 2048, "wall_s": round(dt, 3)}
 
