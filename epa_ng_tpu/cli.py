@@ -150,6 +150,14 @@ def build_parser() -> argparse.ArgumentParser:
                       help="Static candidate budget of the fused placement "
                            "step under the dynamic heuristic (TPU "
                            "extension; saturated queries re-run wider).")
+    comp.add_argument("--adaptive-split", action="store_true",
+                      help="Multi-host runs: shard the query file "
+                           "proportionally to each host's measured "
+                           "placement rate (a short synthetic "
+                           "calibration) instead of evenly — the "
+                           "runtime consumer of the reference's "
+                           "difficulty-proportional scheduler (TPU "
+                           "extension).")
     comp.add_argument("--mesh", default=None, metavar="DPxEP",
                       help="Shard this process' placement over a local "
                            "device mesh, e.g. 4x2: queries data-parallel "
@@ -491,9 +499,46 @@ def main(argv=None) -> int:
 
     start_place = time.time()
 
+    # --adaptive-split: rate-proportional query shards (the runtime
+    # consumer of the scheduling math, parallel.schedule). Each host
+    # measures its own placement rate on a synthetic calibration chunk;
+    # the rate vector is allgathered (or forced via
+    # EPA_NG_TPU_CALIBRATION_RATES="r0,r1,..." for tests/known-skew
+    # clusters) and every host derives the identical contiguous split.
+    shard = None
+    if args.adaptive_split and pcount > 1:
+        from epa_ng_tpu.parallel import schedule as sched
+        forced = os.environ.get("EPA_NG_TPU_CALIBRATION_RATES")
+        if forced:
+            rates = [float(x) for x in forced.split(",")]
+            if len(rates) != pcount:
+                log.error("EPA_NG_TPU_CALIBRATION_RATES has %d entries "
+                          "for %d processes", len(rates), pcount)
+                return 1
+        else:
+            rate = engine.calibration_rate()
+            import jax as _jax
+            if _jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                rates = np.asarray(multihost_utils.process_allgather(
+                    np.asarray([rate]))).reshape(-1).tolist()
+            else:
+                # env-topology ranks cannot exchange rates; keep even
+                log.warning("--adaptive-split: no jax.distributed "
+                            "topology to exchange rates; keeping the "
+                            "even split (set "
+                            "EPA_NG_TPU_CALIBRATION_RATES to force)")
+                rates = [1.0] * pcount
+        shares = sched.proportional_shares(qry_info.sequences, rates)
+        shard = shares[pidx]
+        log.info("Adaptive split: rates %s -> shards %s (this rank: "
+                 "offset %d, %d queries)",
+                 [round(r, 1) for r in rates],
+                 shares, shard[0], shard[1])
+
     reader = fio.make_msa_reader(args.query, qry_info, options.premasking,
                                  split=True, process_index=pidx,
-                                 process_count=pcount)
+                                 process_count=pcount, shard=shard)
     out_file = args.out_file
     shard_name = out_file if pcount == 1 else f"{out_file}.shard{pidx}"
     # --tmp: host-local files (e.g. node-local SSD) hold the shards

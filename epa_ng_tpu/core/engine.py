@@ -391,6 +391,37 @@ class PlacementEngine:
 
     # ------------------------------------------------------------------
 
+    def calibration_rate(self, n: int = 256, seed: int = 0) -> float:
+        """Measured placement throughput (queries/s) on a synthetic
+        read-like chunk — the per-host "difficulty" input of the adaptive
+        query sharding (parallel.schedule.proportional_shares; the
+        runtime successor of the reference's stage-difficulty measurement,
+        src/pipeline/Pipeline.hpp:84-125). Two passes; the second is
+        timed so one-off compiles (or cache loads) don't pollute the
+        rate."""
+        import time as _time
+        rng = np.random.default_rng(seed)
+        S = self.num_sites
+        chars = lookup_chars(self.model.num_states)
+        # single-state columns only (no gaps/ambiguity): peaked-enough
+        # posteriors that the chunk rides the production fused path
+        # instead of the saturation fallback
+        from epa_ng_tpu.models.charmaps import state_mask_table
+        tbl = state_mask_table(self.model.num_states)
+        single = [i for i, ch in enumerate(chars)
+                  if bin(int(tbl[ord(ch)])).count("1") == 1]
+        codes = np.asarray(single, np.uint8)[
+            rng.integers(0, len(single), size=(n, S))]
+        span = max(8, S // 2)
+        begins = rng.integers(0, S - span + 1, size=n).astype(np.int32)
+        ranges = np.stack([begins, np.full(n, span, np.int32)], axis=1)
+        ec = EncodedChunk(headers=[[f"cal{i}"] for i in range(n)],
+                          codes=codes, ranges=ranges)
+        self.finalize_chunk(self.place_encoded_async(ec))
+        t0 = _time.perf_counter()
+        self.finalize_chunk(self.place_encoded_async(ec))
+        return n / (_time.perf_counter() - t0)
+
     def _encode_chunk(self, chunk: MSA):
         """(codes, qmasks, ranges) for an MSA chunk — all vectorized table
         lookups over one [Q,S] byte matrix (core.chunk)."""

@@ -180,14 +180,18 @@ class BfastReader:
 
     def __init__(self, path: str, info, premask: bool = False,
                  split: bool = False, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, shard: tuple | None = None):
         self._f = open(path, "rb")
         self._offsets, mask = _read_header(self._f)
         self._mask: Optional[np.ndarray] = mask if premask and mask.any() else None
         total = len(self._offsets)
         self._local_offset = 0
         self._max_read = total
-        if split and process_count > 1:
+        if shard is not None:
+            self._local_offset, self._max_read = shard
+            if self._max_read and self._local_offset < total:
+                self._f.seek(int(self._offsets[self._local_offset]))
+        elif split and process_count > 1:
             base = total // process_count
             rem = total % process_count
             self._local_offset = process_index * base + min(process_index, rem)

@@ -277,18 +277,21 @@ class MSAStream:
 
     def __init__(self, path: str, info: MSAInfo, premask: bool = True,
                  split: bool = False, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, shard: tuple | None = None):
         self._info = info
         self._mask = info.gap_mask if premask and info.gap_count else None
         self._iter = iter_any_seqfile(path)
         self._local_offset = 0
         self._remaining = info.sequences
-        if split and process_count > 1:
-            total = info.sequences
-            base = total // process_count
-            rem = total % process_count
-            offset = process_index * base + min(process_index, rem)
-            count = base + (1 if process_index < rem else 0)
+        if shard is not None or (split and process_count > 1):
+            if shard is not None:
+                offset, count = shard
+            else:
+                total = info.sequences
+                base = total // process_count
+                rem = total % process_count
+                offset = process_index * base + min(process_index, rem)
+                count = base + (1 if process_index < rem else 0)
             with open(path, "rb") as f:
                 plain_fasta = f.read(1) == b">" and not is_gzipped(path)
             if plain_fasta:
@@ -321,14 +324,18 @@ class MSAStream:
 
 
 def make_msa_reader(path: str, info: MSAInfo, premask: bool, split: bool,
-                    process_index: int = 0, process_count: int = 1):
+                    process_index: int = 0, process_count: int = 1,
+                    shard: tuple | None = None):
     """Factory: bfast random-access reader if the file is bfast, the native
     mmap scanner for plain fasta, else the python streaming reader
-    (reference: src/io/msa_reader.hpp:15-26)."""
+    (reference: src/io/msa_reader.hpp:15-26). ``shard`` = explicit
+    (offset, count) overriding the even process split — the CLI's
+    --adaptive-split passes rate-proportional shares here
+    (parallel.schedule.proportional_shares)."""
     from epa_ng_tpu.io import bfast
     if bfast.is_bfast(path):
         return bfast.BfastReader(path, info, premask, split,
-                                 process_index, process_count)
+                                 process_index, process_count, shard=shard)
     if not is_gzipped(path):
         from epa_ng_tpu.io.native import NativeMSAStream, get_lib
         with open(path, "rb") as f:
@@ -336,12 +343,14 @@ def make_msa_reader(path: str, info: MSAInfo, premask: bool, split: bool,
         if first == b">" and get_lib() is not None:
             try:
                 return NativeMSAStream(path, info, premask, split,
-                                       process_index, process_count)
+                                       process_index, process_count,
+                                       shard=shard)
             except Exception as e:
                 import logging
                 logging.getLogger("epa_ng_tpu").debug(
                     "native reader unavailable (%s); python fallback", e)
-    return MSAStream(path, info, premask, split, process_index, process_count)
+    return MSAStream(path, info, premask, split, process_index,
+                     process_count, shard=shard)
 
 
 def find_collapse_equal_sequences(msa: MSA) -> MSA:

@@ -210,10 +210,12 @@ class NativeMSAStream:
 
     def __init__(self, path: str, info, premask: bool = True,
                  split: bool = False, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, shard: tuple | None = None):
         mask = info.gap_mask if premask and info.gap_count else None
         offset, count = 0, info.sequences
-        if split and process_count > 1:
+        if shard is not None:
+            offset, count = shard
+        elif split and process_count > 1:
             total = info.sequences
             base = total // process_count
             rem = total % process_count

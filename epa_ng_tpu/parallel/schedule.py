@@ -6,13 +6,17 @@ difficulties; ``solve`` assigns nodes proportional to difficulty (first and
 last stage pinned to one node); ``assign``/``reassign`` compute and migrate
 rank->stage maps with minimal movement.
 
-STATUS: forward-looking parity module. Like the reference's own scheduler
-(unit-tested but never called from the v0.3.8 ``simple_mpi`` path,
-src/pipeline/Pipeline.hpp:35, src/pipeline/schedule.cpp:16-54), this solver
-is unit-tested serial math (tests/test_schedule.py) that no runtime
-currently consumes: the active distributed mode is plain query data
-parallelism, and ``core.pipeline.StreamingPipeline`` records stage timers
-that a future cross-host rebalancer would feed into ``assign``/``reassign``.
+STATUS: :func:`proportional_shares` IS consumed by the runtime — the
+CLI's ``--adaptive-split`` calibrates each host's placement rate
+(PlacementEngine.calibration_rate) and shards the query file
+rate-proportionally with it (tests/test_multiproc_cli.py::
+test_adaptive_split_two_ranks). The stage-pipeline solver half
+(``solve``/``assign``/``reassign``) mirrors the reference's scheduler,
+which its own v0.3.8 ``simple_mpi`` path never calls either
+(src/pipeline/Pipeline.hpp:35, src/pipeline/schedule.cpp:16-54): kept as
+unit-tested math for a cross-host stage pipeline, with
+``core.pipeline.StreamingPipeline`` recording the stage timers that
+would feed it.
 """
 
 from __future__ import annotations
@@ -46,6 +50,43 @@ def solve(stages: int, nodes: int, difficulty: list[float]) -> list[int]:
         j = nps.index(max(nps))
         nps[j] += 1 if off_by < 0 else -1
     return nps
+
+
+def proportional_shares(total: int, rates) -> list[tuple[int, int]]:
+    """Contiguous per-rank (offset, count) query shards proportional to
+    measured placement rates — the difficulty-proportional assignment of
+    the reference's solver (src/pipeline/schedule.cpp:16-54) applied to
+    the data-parallel query axis instead of pipeline stages. This IS the
+    runtime consumer of the scheduling math: the CLI's --adaptive-split
+    calibrates each host's rate and shards the query file with it
+    (replacing the even split of the reference's local_seq_package,
+    src/net/epa_mpi_util.cpp:10-30).
+
+    Counts sum exactly to ``total`` (largest-remainder rounding, ties to
+    the lower rank so every host computes the identical split without
+    communication beyond the rate vector)."""
+    rates = [max(float(r), 0.0) for r in rates]
+    n = len(rates)
+    if n == 0:
+        raise ValueError("no ranks")
+    s = sum(rates)
+    if s <= 0:
+        rates = [1.0] * n
+        s = float(n)
+    exact = [total * r / s for r in rates]
+    counts = [int(x) for x in exact]
+    rem = total - sum(counts)
+    # largest fractional remainders get the leftover queries
+    order = sorted(range(n), key=lambda i: (-(exact[i] - counts[i]), i))
+    for i in order[:rem]:
+        counts[i] += 1
+    shares = []
+    off = 0
+    for c in counts:
+        shares.append((off, c))
+        off += c
+    assert off == total
+    return shares
 
 
 def assign(local_rank: int, nodes_per_stage: list[int]):

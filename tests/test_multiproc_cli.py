@@ -132,6 +132,68 @@ def test_result_overwrite_guard(tmp_path):
     assert (out / "epa_result.jplace").read_text() == before
 
 
+def test_adaptive_split_two_ranks(tmp_path):
+    """--adaptive-split: rate-proportional query shards (the runtime
+    consumer of the difficulty-proportional scheduler math,
+    parallel.schedule.proportional_shares). Forced 3:1 rates give rank 0
+    three quarters of the queries; the merged document must equal the
+    single-rank run exactly (shards stay contiguous and ordered)."""
+    from epa_ng_tpu.utils.synth import synth_files
+
+    data = tmp_path / "data"
+    data.mkdir()
+    tpath, rpath, qpath = synth_files(str(data), n_taxa=12, sites=96,
+                                      n_queries=16, seed=33)
+    single = tmp_path / "single"
+    multi = tmp_path / "multi"
+    single.mkdir()
+    multi.mkdir()
+    base = ["-t", tpath, "-s", rpath, "-q", qpath, "-m", MODEL, "--redo"]
+    assert main(base + ["-w", str(single) + "/"]) == 0
+
+    os.environ["EPA_NG_TPU_CALIBRATION_RATES"] = "3,1"
+    try:
+        for rank in (1, 0):
+            os.environ["EPA_NG_TPU_PROCESS_INDEX"] = str(rank)
+            os.environ["EPA_NG_TPU_PROCESS_COUNT"] = "2"
+            try:
+                rc = main(base + ["-w", str(multi) + "/",
+                                  "--adaptive-split"])
+            finally:
+                del os.environ["EPA_NG_TPU_PROCESS_INDEX"]
+                del os.environ["EPA_NG_TPU_PROCESS_COUNT"]
+            assert rc == 0
+    finally:
+        del os.environ["EPA_NG_TPU_CALIBRATION_RATES"]
+
+    a = json.load(open(single / "epa_result.jplace"))
+    b = json.load(open(multi / "epa_result.jplace"))
+    # contiguous rate-proportional shards preserve input order: documents
+    # match pquery by pquery
+    na = [tuple(p["n"]) for p in a["placements"]]
+    nb = [tuple(p["n"]) for p in b["placements"]]
+    assert na == nb and len(na) == 16
+    # the 3:1 split put 12 queries on rank 0 (check via the rank logs)
+    log0 = open(multi / "0.epa_info.log").read()
+    assert "offset 0, 12 queries" in log0, log0[-500:]
+
+
+def test_proportional_shares_math():
+    from epa_ng_tpu.parallel.schedule import proportional_shares
+    # exact sum, contiguity, proportionality
+    sh = proportional_shares(100, [3.0, 1.0])
+    assert sh == [(0, 75), (75, 25)]
+    sh = proportional_shares(10, [1, 1, 1])
+    assert sum(c for _, c in sh) == 10
+    assert sh[0][0] == 0 and all(
+        sh[i][0] == sh[i - 1][0] + sh[i - 1][1] for i in range(1, 3))
+    # zero/degenerate rates fall back to even
+    assert proportional_shares(8, [0.0, 0.0]) == [(0, 4), (4, 4)]
+    # a very slow rank may get zero queries; totals still exact
+    sh = proportional_shares(2, [100.0, 0.001])
+    assert sh == [(0, 2), (2, 0)]
+
+
 def test_bad_distributed_spec():
     from epa_ng_tpu.cli import maybe_init_distributed
     with pytest.raises(SystemExit, match="bad --distributed spec"):

@@ -115,3 +115,21 @@ def test_pipeline_timers_drive_rebalance():
     local_stage = reassign(0, nps2, rank_assignm, local_stage)
     assert sorted(r for st in rank_assignm for r in st) == list(range(16))
     assert [len(st) for st in rank_assignm] == nps2
+
+
+def test_calibration_rate_positive():
+    """PlacementEngine.calibration_rate: the measured per-host difficulty
+    input of the adaptive split runs end to end and yields a sane rate."""
+    from epa_ng_tpu.core.engine import PlacementEngine
+    from epa_ng_tpu.models import Model
+    from epa_ng_tpu.utils.options import Options
+    from epa_ng_tpu.utils.synth import synth_dataset
+
+    tree, ref, _ = synth_dataset(n_taxa=12, sites=64, n_queries=1, seed=3)
+    eng = PlacementEngine(
+        tree, ref,
+        Model.from_string("GTR{1.2/2.4/0.9/1.1/3.1/1}"
+                          "+FU{0.28/0.22/0.24/0.26}+G4{0.7}"),
+        Options(compute_dtype="f64"))
+    rate = eng.calibration_rate(n=32)
+    assert rate > 0
