@@ -110,13 +110,39 @@ def from_msa(msa, num_states: int) -> EncodedChunk:
     return EncodedChunk(headers=headers, codes=codes, ranges=ranges)
 
 
+def _row_hashes(codes: np.ndarray, ranges: np.ndarray) -> np.ndarray:
+    """[Q] uint64 FNV-style hash over each (codes row, range) — a cheap
+    duplicate pre-screen: distinct hashes prove distinct rows."""
+    Q, S = codes.shape
+    pad = (-S) % 8
+    if pad:
+        codes = np.pad(codes, [(0, 0), (0, pad)])
+    words = np.ascontiguousarray(codes).view(np.uint64)      # [Q, S/8]
+    h = np.full(Q, np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(words.shape[1]):
+            h = (h * prime) ^ words[:, j]
+        for j in range(2):
+            h = (h * prime) ^ ranges[:, j].astype(np.uint64)
+    return h
+
+
 def collapse(ec: EncodedChunk) -> EncodedChunk:
     """Collapse duplicate code rows into one entry holding all headers, in
     first-occurrence order (reference: src/set_manipulators.cpp:208-226).
     Duplicate short reads are the norm in metagenomic data; collapsed rows
-    are placed once and reported under every name."""
+    are placed once and reported under every name.
+
+    A vectorized 64-bit row-hash pre-screen skips the exact (byte-wise
+    sort) comparison entirely when every row hashes distinctly — on
+    duplicate-free chunks the exact path cost ~4x the whole FASTA scan
+    (the common case pays ~nothing, the duplicate-heavy case pays where
+    collapsing also saves placement work)."""
     Q = len(ec.headers)
     if Q <= 1:
+        return ec
+    if len(np.unique(_row_hashes(ec.codes, ec.ranges))) == Q:
         return ec
     # key on (codes, ranges): '?' and '-' share the gap lookup column but
     # produce different valid ranges, which changes placement
