@@ -21,10 +21,11 @@ Inputs are the pre-transformed per-pair windows produced by
 ops.newton.transform_edges / transform_queries — the same tensors the XLA
 fallback consumes — so the only prologue work here is a transpose to the
 kernel layout: pairs ride the 128-lane axis; tiles are [W, PB] per (r,k)
-slice. The state count is a trace-time constant derived from the ref
-shapes: DNA (K=4) and protein (K=20) single-matrix models, pinv=0 only;
-matrix mixtures / pinv use the XLA path (ops.newton). Wider states trade
-window width for VMEM (blo_supported's RK*W budget).
+slice. The state/rate counts are trace-time constants derived from the
+ref shapes: DNA (K=4) and protein (K=20), single-matrix AND matrix-
+mixture (LG4M/LG4X — per-rate [RK, K] coefficient tables, per-category
+query tips); pinv > 0 uses the XLA path (ops.newton). Wider states
+trade window width for VMEM (blo_supported's RK*W budget).
 """
 
 from __future__ import annotations
@@ -140,10 +141,14 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
     dtype = tU_ref.dtype
     tiny = jnp.finfo(dtype).tiny
     # state/rate counts are trace-time constants of the ref shapes (DNA
-    # K=4 and protein K=20 instantiate the same kernel)
-    K = tQ_ref.shape[0]
+    # K=4 and protein K=20 instantiate the same kernel). Matrix-mixture
+    # models (LG4M/LG4X) carry PER-RATE eigen systems: their A/piA SMEM
+    # tables arrive as [RK, K] per-rate rows and the query tip as
+    # [RK, W, PB] (transform_queries is per-category there).
+    K = wA_ref.shape[1]
     RK = tU_ref.shape[0]
     R = RK // K
+    Kq = tQ_ref.shape[0]          # K (shared tip) or RK (per-rate tip)
 
     # All per-pair state is kept 2-D [1, PB]: 1-D (and especially bool)
     # loop carries trip Mosaic layout inference.
@@ -199,15 +204,19 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
         in the back-transformed basis plus a K^2 FMA fan-out — ~3x fewer
         [W,PB] tile ops than the direct wG form."""
         prod = [hA[j] * hB[j] for j in range(RK)]
+        pi_per_rate = piA_ref.shape[0] == RK and R > 1
         T = [None] * RK
         for r in range(R):
             for k in range(K):
                 acc = None
                 for i in range(K):
-                    term = piA_ref[i, k] * prod[r * K + i]
+                    c = (piA_ref[r * K + i, k] if pi_per_rate
+                         else piA_ref[i, k])
+                    term = c * prod[r * K + i]
                     acc = term if acc is None else acc + term
                 j = r * K + k
-                T[j] = acc if out_slices is None else acc * out_slices[j % K]
+                T[j] = (acc if out_slices is None
+                        else acc * out_slices[j % len(out_slices)])
         return T
 
     def build_T(lp, ld, q_slices):
@@ -273,7 +282,7 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
         g = jnp.maximum(f, tiny)
         return jnp.sum(mask * jnp.log(g), axis=0, keepdims=True)  # [1, PB]
 
-    q_plain = [tQ_ref[k] for k in range(K)]
+    q_plain = [tQ_ref[k] for k in range(Kq)]
     pendant0 = jnp.full((1, PB), DEFAULT_PENDANT, dtype)
     # T is carried across smoothings: the score's T at the accepted lengths
     # IS the next smoothing's pendant sumtable (rolled-back pairs are
@@ -300,7 +309,7 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
         # proximal CLV with the pendant-scaled query tips and leaves the
         # plain tV lanes to carry the distal exponentials.
         hU = back_transform(lambda j: tU_ref[j], exps(proximal), wA_ref)
-        hQ = back_transform(lambda j: tQ_ref[j % K], exps(new_pendant),
+        hQ = back_transform(lambda j: tQ_ref[j % Kq], exps(new_pendant),
                             A_ref)
         T2 = contract_T(hU, hQ)
         for j in range(RK):
@@ -347,7 +356,19 @@ def _kernel_scalars(consts, dtype):
     weighted back-transform wA [RK, K] (w_r * A[i,k] rows [r*K+i, k]),
     plain A [K, K], and piA [K, K] (pi_i * A[i,k]). The kernel evaluates
     the trilinear G-form through its factorization
-    G[k1,k2,k3] = sum_i pi_i A_ik1 A_ik2 A_ik3."""
+    G[k1,k2,k3] = sum_i pi_i A_ik1 A_ik2 A_ik3. Matrix mixtures
+    (per-rate eigen systems) emit PER-RATE [RK, K] rows for all three
+    coefficient tables."""
+    if consts.A.ndim == 3:
+        R, K, _ = consts.A.shape
+        RK = R * K
+        x_rk = (consts.eigenvals
+                * consts.rates[:, None]).reshape(RK, 1)
+        wA = (consts.weights[:, None, None] * consts.A).reshape(RK, K)
+        A = consts.A.reshape(RK, K)
+        piA = (consts.freqs[:, :, None] * consts.A).reshape(RK, K)
+        return (jnp.asarray(x_rk, dtype), jnp.asarray(wA, dtype),
+                jnp.asarray(A, dtype), jnp.asarray(piA, dtype))
     K = consts.A.shape[0]
     RK = consts.rates.shape[0] * K
     x_rk = (consts.eigenvals[None, :]
@@ -360,9 +381,7 @@ def _kernel_scalars(consts, dtype):
 
 
 def blo_supported(consts, width: int, sliding: bool = True) -> bool:
-    if consts.A.ndim != 2:  # matrix mixtures take the XLA path
-        return False
-    k = int(consts.A.shape[0])
+    k = int(consts.A.shape[-1])
     rk = k * int(consts.rates.shape[0])
     return (sliding
             and k in (4, 20)

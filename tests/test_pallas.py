@@ -153,3 +153,50 @@ def test_pallas_blocked_matches_plain_interpret():
     sharp = logl_diff < 1e-3
     assert pd[sharp].max() < 0.05
     assert dd[sharp].max() < 0.05
+
+
+def test_pallas_blo_mixture_matches_xla_interpret(tmp_path):
+    """Matrix-mixture (LG4M/LG4X mechanism) instantiation: per-rate
+    eigen systems ride [RK, K] coefficient tables and a per-category
+    query tip; must match the XLA mixture path."""
+    from epa_ng_tpu.models import aa_matrices
+    from epa_ng_tpu.utils.synth import AA
+
+    rng_comps = np.random.RandomState(11)
+    lg_rates, lg_freqs = aa_matrices.MATRICES["LG"]
+    comps = []
+    for i in range(4):
+        r = lg_rates * np.exp(0.35 * rng_comps.randn(190))
+        f = lg_freqs * np.exp(0.35 * rng_comps.randn(20))
+        comps.append((r, f / f.sum()))
+    aa_matrices.MIXTURES["TESTPALLAS4M"] = (comps, "gamma")
+    try:
+        tree, ref, qry = synth_dataset(n_taxa=10, sites=48, n_queries=6,
+                                       seed=15, alphabet=AA)
+        eng = PlacementEngine(tree, ref,
+                              Model.from_string("TESTPALLAS4M+G4{0.9}"),
+                              Options(compute_dtype="f32"))
+        assert blo_supported(eng.consts, 48)
+        blo = eng.blo
+        codes, qmasks, ranges = eng._encode_chunk(qry)
+        tQ, invq = eng._query_tensors(qmasks)
+        assert tQ.shape[1] == 80  # per-category tip: RK rows
+        site = np.arange(48)
+        sm = jnp.asarray(((site[None, :] >= ranges[:, :1])
+                          & (site[None, :] < ranges[:, :1]
+                             + ranges[:, 1:2])), jnp.float32)
+        rng = np.random.default_rng(4)
+        P = 16
+        pe = jnp.asarray(rng.integers(0, eng.num_edges, P, dtype=np.int32))
+        pq = jnp.asarray(rng.integers(0, 6, P, dtype=np.int32))
+        args = (eng.consts, blo.tU[pe], blo.tV[pe], tQ[pq], blo.ls[pe],
+                sm[pq], blo.lengths[pe], invq[pq])
+        ref_out = newton.blo_optimize_batch(*args, sliding=True)
+        pal_out = blo_optimize_batch_pallas(*args, interpret=True)
+        logl_diff = np.abs(np.asarray(ref_out[0]) - np.asarray(pal_out[0]))
+        assert logl_diff.max() < 0.05, logl_diff.max()
+        sharp = logl_diff < 1e-3
+        pd = np.abs(np.asarray(ref_out[1]) - np.asarray(pal_out[1]))[sharp]
+        assert pd.max() < 0.05
+    finally:
+        aa_matrices.MIXTURES.pop("TESTPALLAS4M", None)
