@@ -627,7 +627,7 @@ class PlacementEngine:
                 topk=topk, sliding=opts.sliding_blo, site_width=W,
                 filter_cfg=fcfg, filter_threshold=fthresh,
                 heur_mode=heur_mode, use_pallas=Wb is not None,
-                block_width=Wb)
+                block_width=Wb, has_pinv=self.model.pinv > 0)
             _start_host_copy(out)
             return {
                 "ec": ec, "out": out, "perm": perm, "Qr": Qr,
@@ -646,7 +646,7 @@ class PlacementEngine:
             block_width=Wb,
             filter_cfg=fcfg,
             filter_threshold=fthresh,
-            heur_mode=heur_mode)
+            heur_mode=heur_mode, has_pinv=self.model.pinv > 0)
         _start_host_copy(out)
         return {
             "ec": ec, "out": out, "perm": perm, "Qr": Qr,
@@ -783,7 +783,7 @@ class PlacementEngine:
                 topk=k2, sliding=opts.sliding_blo, site_width=W2,
                 filter_cfg=fcfg, filter_threshold=fthresh,
                 heur_mode=heur_mode, use_pallas=Wb2 is not None,
-                block_width=Wb2)
+                block_width=Wb2, has_pinv=self.model.pinv > 0)
             return self._redo_wide_finish(out, redo, n_redo, k2, codes,
                                           ranges, tQ, invq, perm, headers,
                                           seq_id_offset)
@@ -796,7 +796,8 @@ class PlacementEngine:
             topk=k2, sliding=opts.sliding_blo, site_width=W2, packed=True,
             use_pallas=Wb2 is not None, block_width=Wb2,
             heur_mode=heur_mode,
-            filter_cfg=fcfg, filter_threshold=fthresh)
+            filter_cfg=fcfg, filter_threshold=fthresh,
+            has_pinv=self.model.pinv > 0)
         return self._redo_wide_finish(out, redo, n_redo, k2, codes, ranges,
                                       tQ, invq, perm, headers,
                                       seq_id_offset)
@@ -939,9 +940,11 @@ class PlacementEngine:
                     continue
                 res = _blo_blocked(
                     self.consts, blo.tU, blo.tV, blo.ls, blo.lengths,
-                    tQ, jnp.asarray(pair_e[pad]), jnp.asarray(pair_q[pad]),
+                    tQ, invq, jnp.asarray(pair_e[pad]),
+                    jnp.asarray(pair_q[pad]),
                     jnp.asarray(pb), jnp.asarray(spans[pair_q[pad]]),
-                    jnp.asarray(offs), Wb, cap)
+                    jnp.asarray(offs), Wb, cap,
+                    has_pinv=self.model.pinv > 0)
                 # async host copies: without these every slab's np.asarray
                 # below pays a full host<->device round trip SERIALLY —
                 # measured 0.03s x 4 arrays x 134 slabs = 17s of pure
@@ -991,7 +994,8 @@ class PlacementEngine:
                         jnp.asarray(b_np),
                         jnp.asarray(begins[pair_q[pad]] - b_np),
                         jnp.asarray(spans[pair_q[pad]]),
-                        int(W), opts.sliding_blo, cap, use_pallas)
+                        int(W), opts.sliding_blo, cap, use_pallas,
+                        has_pinv=self.model.pinv > 0)
                     for a in res:
                         _start_host_copy(a)
                     pending.append((sel, n, res))
@@ -1075,13 +1079,14 @@ def _edge_logl_jit(U, lsU, V, lsV, P, freqs, weights, pinv, inv_logterm):
                                          pinv=pinv, inv_logterm=inv_logterm)
 
 
-@partial(jax.jit, static_argnames=("width", "max_smoothings"))
-def _blo_blocked(consts, tU, tV, ls, lengths, tQ, e_ids, q_ids,
-                 begins, spans, offs, width: int, max_smoothings: int):
+@partial(jax.jit, static_argnames=("width", "max_smoothings", "has_pinv"))
+def _blo_blocked(consts, tU, tV, ls, lengths, tQ, invq, e_ids, q_ids,
+                 begins, spans, offs, width: int, max_smoothings: int,
+                 has_pinv: bool = False):
     """Blocked-window Pallas dispatch for an explicit pair list: fast
     full-row gathers; each 128-pair block DMAs its own site window (see
-    ops.pallas_blo.blo_optimize_batch_pallas_blocked). pinv == 0 only
-    (guaranteed by PlacementEngine._use_pallas)."""
+    ops.pallas_blo.blo_optimize_batch_pallas_blocked). +I models feed the
+    per-(pair, site) linear invariant term via ``has_pinv``."""
     from epa_ng_tpu.ops.pallas_blo import PB, blo_optimize_batch_pallas_blocked
     S = tU.shape[2]
     dtype = tU.dtype
@@ -1095,19 +1100,20 @@ def _blo_blocked(consts, tU, tV, ls, lengths, tQ, e_ids, q_ids,
     wsite = jnp.arange(width)
     bmask = ((wsite[None, :] >= local[:, None])
              & (wsite[None, :] < (local + spans)[:, None])).astype(dtype)
+    pv = jnp.exp(invq[q_ids] - ls[e_ids]) if has_pinv else None
     logl, pendant, distal_rep, _, _, done = blo_optimize_batch_pallas_blocked(
         consts, tUg, tVg, tQg, bmask, lengths[e_ids], offs, ls_sum,
-        block_width=width, max_smoothings=max_smoothings)
+        block_width=width, max_smoothings=max_smoothings, pinv_lin=pv)
     return logl, pendant, distal_rep, done
 
 
 @partial(jax.jit, static_argnames=("width", "sliding", "max_smoothings",
-                                   "use_pallas"))
+                                   "use_pallas", "has_pinv"))
 def _blo_windowed(consts, tU, tV, ls, lengths, tQ, invq,
                   e_ids, q_ids, win_begin, local_begin, spans,
                   width: int, sliding: bool,
                   max_smoothings: int = newton.SMOOTHINGS,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, has_pinv: bool = False):
     """Gather per-pair site windows [width] out of the full-S tensors and
     run the Newton batch on the compact windows."""
     RK = tU.shape[1]
@@ -1132,7 +1138,7 @@ def _blo_windowed(consts, tU, tV, ls, lengths, tQ, invq,
         from epa_ng_tpu.ops.pallas_blo import blo_optimize_batch_pallas
         logl, pendant, distal_rep, _, _, done = blo_optimize_batch_pallas(
             consts, tu, tv, tq, l, mask, lengths[e_ids], iv,
-            max_smoothings=max_smoothings)
+            max_smoothings=max_smoothings, has_pinv=has_pinv)
     else:
         logl, pendant, distal_rep, _, _, done = newton.blo_optimize_batch(
             consts, tu, tv, tq, l, mask, lengths[e_ids], iv, sliding=sliding,

@@ -24,8 +24,9 @@ kernel layout: pairs ride the 128-lane axis; tiles are [W, PB] per (r,k)
 slice. The state/rate counts are trace-time constants derived from the
 ref shapes: DNA (K=4) and protein (K=20), single-matrix AND matrix-
 mixture (LG4M/LG4X — per-rate [RK, K] coefficient tables, per-category
-query tips); pinv > 0 uses the XLA path (ops.newton). Wider states
-trade window width for VMEM (blo_supported's RK*W budget).
+query tips); +I models feed the linear invariant-site term through a
+dedicated kernel variant (``has_pinv``). Wider states trade window
+width for VMEM (blo_supported's RK*W budget).
 """
 
 from __future__ import annotations
@@ -74,6 +75,19 @@ def _blo_kernel(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
                  mask_ref, orig_ref,
                  None, logl_ref, pendant_ref, distal_ref, proximal_ref,
                  done_ref, max_smoothings=max_smoothings)
+
+
+def _blo_kernel_pinv(xrk_ref, omp_ref, wA_ref, A_ref, piA_ref, tU_ref,
+                     tV_ref, tQ_ref, mask_ref, pinv_ref, orig_ref,
+                     logl_ref, pendant_ref, distal_ref, proximal_ref,
+                     done_ref, *, max_smoothings: int):
+    """+I variant of :func:`_blo_kernel`: extra omp [1,1] SMEM and
+    pinv [W, PB] VMEM (the per-(site,pair) linear invariant term)."""
+    _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
+                 mask_ref, orig_ref,
+                 None, logl_ref, pendant_ref, distal_ref, proximal_ref,
+                 done_ref, max_smoothings=max_smoothings,
+                 pinv_ref=pinv_ref, omp_ref=omp_ref)
 
 
 def _blo_kernel_blocked(offs_ref, act_ref, xrk_ref, wA_ref, A_ref, piA_ref,
@@ -133,10 +147,67 @@ def _blo_kernel_blocked(offs_ref, act_ref, xrk_ref, wA_ref, A_ref, piA_ref,
         done_ref[...] = zero
 
 
+def _blo_kernel_blocked_pinv(offs_ref, act_ref, xrk_ref, omp_ref, wA_ref,
+                             A_ref, piA_ref, tU_hbm, tV_hbm, tQ_hbm,
+                             pinv_hbm, mask_ref, orig_ref, skip_ref,
+                             logl_ref, pendant_ref, distal_ref,
+                             proximal_ref, done_ref, tU_s, tV_s, tQ_s,
+                             pinv_s, sems, *, max_smoothings: int):
+    """+I variant of :func:`_blo_kernel_blocked`: a 4th per-block DMA
+    brings the [Wb, PB] window of the per-(site,pair) linear invariant
+    term pinv_hbm [S_pad, NP] into VMEM alongside tU/tV/tQ."""
+    p = pl.program_id(0)
+
+    @pl.when(act_ref[p] > 0)
+    def _run():
+        off = pl.multiple_of(offs_ref[p], 8)
+        Wb = tU_s.shape[1]
+        copies = [
+            pltpu.make_async_copy(
+                tU_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tU_s,
+                sems.at[0]),
+            pltpu.make_async_copy(
+                tV_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tV_s,
+                sems.at[1]),
+            pltpu.make_async_copy(
+                tQ_hbm.at[:, pl.ds(off, Wb), pl.ds(p * PB, PB)], tQ_s,
+                sems.at[2]),
+            pltpu.make_async_copy(
+                pinv_hbm.at[pl.ds(off, Wb), pl.ds(p * PB, PB)], pinv_s,
+                sems.at[3]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_s, tV_s, tQ_s,
+                     mask_ref, orig_ref,
+                     skip_ref, logl_ref, pendant_ref, distal_ref,
+                     proximal_ref, done_ref, max_smoothings=max_smoothings,
+                     pinv_ref=pinv_s, omp_ref=omp_ref)
+
+    @pl.when(act_ref[p] == 0)
+    def _skip():
+        dtype = tU_s.dtype
+        zero = jnp.zeros((1, PB), dtype)
+        logl_ref[...] = zero
+        pendant_ref[...] = zero
+        distal_ref[...] = zero
+        proximal_ref[...] = zero
+        done_ref[...] = zero
+
+
 def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
                  mask_ref, orig_ref,
                  skip_ref, logl_ref, pendant_ref, distal_ref, proximal_ref,
-                 done_ref, *, max_smoothings: int):
+                 done_ref, *, max_smoothings: int,
+                 pinv_ref=None, omp_ref=None):
+    """``pinv_ref`` ([W, PB], optional): the linear invariant-site term
+    exp(log(pinv*pi_state) - ls) per (site, pair) — the +I models' second
+    mixture component. With it, every site likelihood becomes
+    g = (1-pinv) * f + pinv_lin (omp_ref [1,1] SMEM holds 1-pinv), and
+    the Newton derivatives carry the (1-pinv) factor — exactly the XLA
+    path's arithmetic (ops.newton._newton / _logl)."""
     W = tU_ref.shape[1]
     dtype = tU_ref.dtype
     tiny = jnp.finfo(dtype).tiny
@@ -228,6 +299,12 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
         return contract_T(hU, hV, q_slices)
 
     mask = mask_ref[...]
+    if pinv_ref is not None:
+        pv = pinv_ref[...] * mask                   # [W, PB]
+        omp = omp_ref[0, 0]
+    else:
+        pv = None
+        omp = None
 
     def newton(T, xmin, xmax, xtol, guess):
         """T: list of RK [W,PB] tiles. Bounds/guess [1,PB] (or scalar)."""
@@ -255,9 +332,15 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
                 xj = xrk_ref[j, 0]
                 f1 += tE * xj
                 f2 += tE * (xj * xj)
-            g = jnp.maximum(f0, tiny)
-            inv_g = 1.0 / g
-            r1 = f1 * inv_g
+            if pv is None:
+                g = jnp.maximum(f0, tiny)
+                inv_g = 1.0 / g
+                r1 = f1 * inv_g
+            else:
+                g = jnp.maximum(omp * f0 + pv, tiny)
+                inv_g = 1.0 / g
+                r1 = omp * f1 * inv_g
+                f2 = omp * f2
             d1 = jnp.sum(mask * r1, axis=0, keepdims=True)       # [1, PB]
             d2 = jnp.sum(mask * (f2 * inv_g - r1 * r1), axis=0,
                          keepdims=True)
@@ -279,7 +362,7 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
         f = jnp.zeros((W, PB), dtype)
         for j in range(RK):
             f += emul(T[j], Eq[j])
-        g = jnp.maximum(f, tiny)
+        g = jnp.maximum(f if pv is None else omp * f + pv, tiny)
         return jnp.sum(mask * jnp.log(g), axis=0, keepdims=True)  # [1, PB]
 
     q_plain = [tQ_ref[k] for k in range(Kq)]
@@ -359,11 +442,12 @@ def _kernel_scalars(consts, dtype):
     G[k1,k2,k3] = sum_i pi_i A_ik1 A_ik2 A_ik3. Matrix mixtures
     (per-rate eigen systems) emit PER-RATE [RK, K] rows for all three
     coefficient tables."""
+    scale = 1.0 / (1.0 - consts.pinv)   # libpll's +I time scaling
     if consts.A.ndim == 3:
         R, K, _ = consts.A.shape
         RK = R * K
         x_rk = (consts.eigenvals
-                * consts.rates[:, None]).reshape(RK, 1)
+                * consts.rates[:, None] * scale).reshape(RK, 1)
         wA = (consts.weights[:, None, None] * consts.A).reshape(RK, K)
         A = consts.A.reshape(RK, K)
         piA = (consts.freqs[:, :, None] * consts.A).reshape(RK, K)
@@ -372,7 +456,7 @@ def _kernel_scalars(consts, dtype):
     K = consts.A.shape[0]
     RK = consts.rates.shape[0] * K
     x_rk = (consts.eigenvals[None, :]
-            * consts.rates[:, None]).reshape(RK, 1)
+            * consts.rates[:, None] * scale).reshape(RK, 1)
     wA = (consts.weights[:, None, None]
           * consts.A[None, :, :]).reshape(RK, K)
     piA = consts.freqs[:, None] * consts.A
@@ -385,21 +469,24 @@ def blo_supported(consts, width: int, sliding: bool = True) -> bool:
     rk = k * int(consts.rates.shape[0])
     return (sliding
             and k in (4, 20)
-            and float(consts.pinv) == 0.0
             and width <= max_kernel_sites(rk)
             and consts.A.dtype == jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_smoothings", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_smoothings", "interpret",
+                                             "has_pinv"))
 def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
                               inv_logfreq=None,
                               max_smoothings: int = SMOOTHINGS,
-                              interpret: bool = False):
-    """Drop-in (sliding-mode, DNA, pinv=0) replacement for
+                              interpret: bool = False,
+                              has_pinv: bool = False):
+    """Drop-in (sliding-mode) replacement for
     ops.newton.blo_optimize_batch. Inputs as there: tU, tV [B, R*K, W]
     pre-transformed windows; tQ [B, K, W]; ls, site_mask [B, W];
-    orig_len [B]. ``inv_logfreq`` is accepted for signature parity and must
-    be all -inf (pinv == 0)."""
+    orig_len [B]. With ``has_pinv`` (the +I models), ``inv_logfreq``
+    [B, W] feeds the kernel's linear invariant term (exp(invf - ls));
+    otherwise it is accepted for signature parity and ignored (all
+    -inf)."""
     B, RK, W = tU.shape
     K = tQ.shape[1]
     dtype = tU.dtype
@@ -425,32 +512,42 @@ def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
     grid = (n_blocks,)
     spec3 = lambda d0: pl.BlockSpec((d0, W, PB), lambda p: (0, 0, p),
                                     memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((W, PB), lambda p: (0, p),
+                         memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, PB), lambda p: (0, p),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((1, NP), dtype)
 
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    common_specs = [smem, smem, smem,                  # wA, A, piA
+                    spec3(RK), spec3(RK),              # tU, tV
+                    pl.BlockSpec((K, W, PB), lambda p: (0, 0, p),
+                                 memory_space=pltpu.VMEM),  # tQ
+                    wspec]                             # mask
+    if has_pinv:
+        # linear invariant term in the kernel's scaled space
+        pvk = pad(jnp.exp(inv_logfreq - ls)).transpose(1, 0)   # [W, NP]
+        omp = (1.0 - consts.pinv).astype(dtype).reshape(1, 1)
+        kern = functools.partial(_blo_kernel_pinv,
+                                 max_smoothings=max_smoothings)
+        in_specs = [smem, smem] + common_specs + [wspec, out_spec]
+        args = (x_rk, omp, wA, A, piA, tUk, tVk, tQk, maskk, pvk, orig)
+    else:
+        kern = functools.partial(_blo_kernel,
+                                 max_smoothings=max_smoothings)
+        in_specs = [smem] + common_specs + [out_spec]
+        args = (x_rk, wA, A, piA, tUk, tVk, tQk, maskk, orig)
+
     logl, pendant, distal, proximal, done = pl.pallas_call(
-        functools.partial(_blo_kernel, max_smoothings=max_smoothings),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # xrk
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # wA
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # A
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # piA
-            spec3(RK), spec3(RK),                      # tU, tV
-            pl.BlockSpec((K, W, PB), lambda p: (0, 0, p),
-                         memory_space=pltpu.VMEM),     # tQ
-            pl.BlockSpec((W, PB), lambda p: (0, p),
-                         memory_space=pltpu.VMEM),     # mask
-            out_spec,                                  # orig
-        ],
+        in_specs=in_specs,
         out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape, out_shape, out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(x_rk, wA, A, piA, tUk, tVk, tQk, maskk,
-      orig)
+    )(*args)
 
     # the kernel scores in scaled space; add back the per-pair log-scale sum
     ls_sum = jnp.sum(site_mask * ls, axis=1)       # [B]
@@ -471,7 +568,8 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
                                       block_width: int,
                                       max_smoothings: int = SMOOTHINGS,
                                       interpret: bool = False,
-                                      skip=None, block_active=None):
+                                      skip=None, block_active=None,
+                                      pinv_lin=None):
     """Per-block site-window variant of :func:`blo_optimize_batch_pallas`.
 
     tUg, tVg: [NP, RK, S] fast full-row gathers (tU[e_ids]); tQg
@@ -486,6 +584,8 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
     caller; ``block_active`` [NP/PB] int32 marks blocks with any live pair
     — inactive blocks bypass DMA and compute entirely (the fused step
     sorts heuristic-cut pairs to the tail so whole blocks die).
+    ``pinv_lin`` [NP, S] (+I models): per-(pair, site) linear invariant
+    term exp(invf - ls), windowed by a 4th per-block DMA.
     """
     NP, RK, S = tUg.shape
     K = tQg.shape[1]
@@ -508,6 +608,8 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
         tUg = jnp.pad(tUg, padw)
         tVg = jnp.pad(tVg, padw)
         tQg = jnp.pad(tQg, padw)
+        if pinv_lin is not None:
+            pinv_lin = jnp.pad(pinv_lin, padw[1:])
 
     tUk = tUg.transpose(1, 2, 0)                  # [RK, S_pad, NP]
     tVk = tVg.transpose(1, 2, 0)
@@ -521,41 +623,61 @@ def blo_optimize_batch_pallas_blocked(consts, tUg, tVg, tQg, mask, orig_len,
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((1, NP), dtype)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,                     # offs, block_active
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # xrk
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # wA
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # A
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # piA
-            pl.BlockSpec(memory_space=pl.ANY),      # tU (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),      # tV (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),      # tQ (HBM)
-            pl.BlockSpec((Wb, PB), lambda p, offs, act: (0, p),
-                         memory_space=pltpu.VMEM),     # mask
-            pl.BlockSpec((1, PB), lambda p, offs, act: (0, p),
-                         memory_space=pltpu.VMEM),     # orig
-            pl.BlockSpec((1, PB), lambda p, offs, act: (0, p),
-                         memory_space=pltpu.VMEM),     # skip
-        ],
-        out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
-        scratch_shapes=[
-            pltpu.VMEM((RK, Wb, PB), dtype),
-            pltpu.VMEM((RK, Wb, PB), dtype),
-            pltpu.VMEM((K, Wb, PB), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    wbspec = pl.BlockSpec((Wb, PB), lambda p, offs, act: (0, p),
+                          memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((1, PB), lambda p, offs, act: (0, p),
+                        memory_space=pltpu.VMEM)
+    if pinv_lin is not None:
+        omp = (1.0 - consts.pinv).astype(dtype).reshape(1, 1)
+        pvk = pinv_lin.transpose(1, 0)            # [S_pad, NP] (HBM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[smem, smem, smem, smem, smem,    # xrk,omp,wA,A,piA
+                      any_, any_, any_, any_,          # tU,tV,tQ,pinv(HBM)
+                      wbspec, lane, lane],             # mask, orig, skip
+            out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
+            scratch_shapes=[
+                pltpu.VMEM((RK, Wb, PB), dtype),
+                pltpu.VMEM((RK, Wb, PB), dtype),
+                pltpu.VMEM((K, Wb, PB), dtype),
+                pltpu.VMEM((Wb, PB), dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        )
+        kern = functools.partial(_blo_kernel_blocked_pinv,
+                                 max_smoothings=max_smoothings)
+        args = (offs, block_active, x_rk, omp, wA, A, piA,
+                tUk, tVk, tQk, pvk, maskk, orig, skipk)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,                     # offs, block_active
+            grid=(n_blocks,),
+            in_specs=[smem, smem, smem, smem,          # xrk, wA, A, piA
+                      any_, any_, any_,                # tU, tV, tQ (HBM)
+                      wbspec, lane, lane],             # mask, orig, skip
+            out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
+            scratch_shapes=[
+                pltpu.VMEM((RK, Wb, PB), dtype),
+                pltpu.VMEM((RK, Wb, PB), dtype),
+                pltpu.VMEM((K, Wb, PB), dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
+        kern = functools.partial(_blo_kernel_blocked,
+                                 max_smoothings=max_smoothings)
+        args = (offs, block_active, x_rk, wA, A, piA,
+                tUk, tVk, tQk, maskk, orig, skipk)
     logl, pendant, distal, proximal, done = pl.pallas_call(
-        functools.partial(_blo_kernel_blocked, max_smoothings=max_smoothings),
+        kern,
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape, out_shape, out_shape, out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(offs, block_active, x_rk, wA, A, piA,
-      tUk, tVk, tQk, maskk, orig, skipk)
+    )(*args)
 
     logl = logl[0] + ls_sum
     pendant = pendant[0]

@@ -20,8 +20,9 @@ XLA computation (preplace -> top-k select -> batched Newton -> LWR); the
 host engine uses it chunk by chunk. The mesh path runs the shard_map'd
 twin (:func:`_spmd_step_body`), where every device executes the same
 single-chip program on its local shard. On TPU the Newton stage
-dispatches to the VMEM-resident Pallas kernel (``use_pallas=True``, DNA
-and AA instantiations); CPU/mixture/p-inv paths use the XLA kernel.
+dispatches to the VMEM-resident Pallas kernel (``use_pallas=True``: DNA,
+AA, matrix-mixture and +I instantiations); CPU and f64 paths use the
+XLA kernel.
 """
 
 from __future__ import annotations
@@ -106,7 +107,7 @@ def preplace_select(table, codes, begins, spans, threshold, topk: int):
 
 @partial(jax.jit, static_argnames=("topk", "sliding", "site_width", "packed",
                                    "use_pallas", "block_width", "phase1",
-                                   "filter_cfg", "heur_mode"))
+                                   "filter_cfg", "heur_mode", "has_pinv"))
 def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                    codes, begins, spans, tQ, invq, prescoring_threshold,
                    topk: int = 8, sliding: bool = True,
@@ -116,7 +117,8 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                    phase1: int = 2,
                    filter_cfg: tuple | None = None,
                    filter_threshold=0.0,
-                   heur_mode: str = "dynamic"):
+                   heur_mode: str = "dynamic",
+                   has_pinv: bool = False):
     """One fused placement step over a query chunk.
 
     table: [E,C,S] preplacement lookup; tU, tV: [E,RK,S] eigen-transformed
@@ -166,7 +168,8 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
         logl, pendant, distal, computed = _newton_blocked_pallas(
             consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
             valid.reshape(-1), begins, spans, block_width,
-            halve_budget=(heur_mode == "dynamic"), phase1=phase1)
+            halve_budget=(heur_mode == "dynamic"), phase1=phase1,
+            invq=invq, has_pinv=has_pinv)
         logl = logl.reshape(Q, topk)
         pendant = pendant.reshape(Q, topk)
         distal = distal.reshape(Q, topk)
@@ -254,7 +257,8 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
 
 def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
                            live0, begins, spans, block_width: int,
-                           halve_budget: bool, phase1: int):
+                           halve_budget: bool, phase1: int,
+                           invq=None, has_pinv: bool = False):
     """Blocked-Pallas Newton stage over a flat [B] (query, edge) pair list
     with in-dispatch candidate compaction: live pairs sort to the front
     (begin-ordered, so each 128-pair block covers a tight site window),
@@ -333,6 +337,9 @@ def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
     tUg = tU[flat_e_p]
     tVg = tV[flat_e_p]
     tQg = tQ[q_ids_p]
+    # +I models: per-(pair, site) linear invariant term in the kernel's
+    # scaled space (the XLA path's pinv_lin, ops.newton.blo_optimize_batch)
+    pv = jnp.exp(invq[q_ids_p] - ls[flat_e_p]) if has_pinv else None
     orig_p = lengths[flat_e_p]
     fullmask = ((site[None, :] >= pb_p[:, None])
                 & (site[None, :] < (pb_p + sp_p)[:, None])).astype(dtype)
@@ -354,7 +361,8 @@ def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
             consts, tUg, tVg, tQg, bmask.astype(dtype),
             orig_p, offs, ls_sum, block_width=Wb,
             max_smoothings=p1,
-            skip=1.0 - fits.astype(dtype), block_active=block_active))
+            skip=1.0 - fits.astype(dtype), block_active=block_active,
+            pinv_lin=pv))
     computed_pair = fits
     if two_phase:
         # --- phase B: compact the unconverged tail (evenly spread
@@ -395,7 +403,8 @@ def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
                 consts, tUg[idx2], tVg[idx2], tQg[idx2],
                 bmask2.astype(dtype), orig_p[idx2], offs2, ls_sum[idx2],
                 block_width=Wb2, max_smoothings=max_sm,
-                skip=1.0 - fits2.astype(dtype), block_active=act2))
+                skip=1.0 - fits2.astype(dtype), block_active=act2,
+                pinv_lin=None if pv is None else pv[idx2]))
         logl_s = logl_s.at[idx2].set(jnp.where(fits2, loglB,
                                                logl_s[idx2]))
         pendant_s = pendant_s.at[idx2].set(jnp.where(fits2, pendB,
@@ -550,7 +559,8 @@ def _spmd_step_body(consts, table, tU, tV, ls, lengths, codes, begins,
                     spans, tQ, invq, threshold, filter_threshold, *,
                     n_ep: int, topk: int, sliding: bool, site_width,
                     use_pallas: bool, block_width, phase1: int,
-                    filter_cfg, heur_mode: str, packed: bool):
+                    filter_cfg, heur_mode: str, packed: bool,
+                    has_pinv: bool = False):
     """Per-DEVICE body of the sharded placement step (runs under
     ``jax.shard_map`` over the (dp, ep) mesh). Each device sees its local
     query rows (dp shard) and its local edge rows (ep shard) and runs the
@@ -620,7 +630,8 @@ def _spmd_step_body(consts, table, tU, tV, ls, lengths, codes, begins,
         logl, pendant, distal, computed = _newton_blocked_pallas(
             consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0, live,
             begins, spans, block_width,
-            halve_budget=(heur_mode == "dynamic"), phase1=phase1)
+            halve_budget=(heur_mode == "dynamic"), phase1=phase1,
+            invq=invq, has_pinv=has_pinv)
     else:
         logl, pendant, distal, computed = _newton_xla_windowed_pairs(
             consts, tU, tV, ls, lengths, tQ, invq, flat_e, q_ids0, live,
@@ -649,18 +660,19 @@ def _make_spmd_step(mesh: Mesh):
     @partial(jax.jit, static_argnames=("topk", "sliding", "site_width",
                                        "use_pallas", "block_width",
                                        "phase1", "filter_cfg", "heur_mode",
-                                       "packed"))
+                                       "packed", "has_pinv"))
     def step(consts, table, tU, tV, ls, lengths, codes, begins, spans,
              tQ, invq, threshold, filter_threshold, topk: int = 8,
              sliding: bool = True, site_width=None,
              use_pallas: bool = False, block_width=None, phase1: int = 2,
              filter_cfg=None, heur_mode: str = "dynamic",
-             packed: bool = False):
+             packed: bool = False, has_pinv: bool = False):
         body = partial(_spmd_step_body, n_ep=n_ep, topk=topk,
                        sliding=sliding, site_width=site_width,
                        use_pallas=use_pallas, block_width=block_width,
                        phase1=phase1, filter_cfg=filter_cfg,
-                       heur_mode=heur_mode, packed=packed)
+                       heur_mode=heur_mode, packed=packed,
+                       has_pinv=has_pinv)
         e_sp, q_sp, r_sp = P("ep"), P("dp"), P()
         in_specs = (r_sp, e_sp, e_sp, e_sp, e_sp, e_sp,
                     q_sp, q_sp, q_sp, q_sp, q_sp, r_sp, r_sp)
@@ -749,7 +761,7 @@ class ShardedPlacement:
                    sliding: bool, site_width: int, filter_cfg,
                    filter_threshold, heur_mode: str,
                    use_pallas: bool = False, block_width=None,
-                   phase1: int = 2):
+                   phase1: int = 2, has_pinv: bool = False):
         """The engine's full fused dispatch (packed + device-side filter)
         over the mesh — the sharded twin of the single-device call in
         PlacementEngine._dispatch_chunk_fused, running the SAME kernels
@@ -764,7 +776,8 @@ class ShardedPlacement:
             jnp.asarray(filter_threshold, self.tU.dtype),
             topk=topk, sliding=sliding, site_width=site_width,
             use_pallas=use_pallas, block_width=block_width, phase1=phase1,
-            filter_cfg=filter_cfg, heur_mode=heur_mode, packed=True)
+            filter_cfg=filter_cfg, heur_mode=heur_mode, packed=True,
+            has_pinv=has_pinv)
 
     def preplace(self, codes, begins, spans) -> np.ndarray:
         """[Q, E] preplacement scores computed against the ep-sharded

@@ -200,3 +200,39 @@ def test_pallas_blo_mixture_matches_xla_interpret(tmp_path):
         assert pd.max() < 0.05
     finally:
         aa_matrices.MIXTURES.pop("TESTPALLAS4M", None)
+
+
+def test_pallas_blo_pinv_matches_xla_interpret():
+    """+I variant: the linear invariant-site term rides a dedicated
+    kernel input; must match the XLA p-inv arithmetic."""
+    tree, ref, qry = synth_dataset(n_taxa=16, sites=80, n_queries=8, seed=21)
+    model = Model.from_string(
+        "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}"
+        "+G4{0.6}+I{0.25}")
+    eng = PlacementEngine(tree, ref, model, Options(compute_dtype="f32"))
+    assert eng.model.pinv == 0.25
+    assert blo_supported(eng.consts, 80)
+    blo = eng.blo
+    codes, qmasks, ranges = eng._encode_chunk(qry)
+    tQ, invq = eng._query_tensors(qmasks)
+    # the invariant term must actually bite somewhere, or the test is
+    # vacuous (all-random columns often have no shared state)
+    assert np.isfinite(np.asarray(invq)).any()
+    site = np.arange(80)
+    sm = jnp.asarray(((site[None, :] >= ranges[:, :1])
+                      & (site[None, :] < ranges[:, :1] + ranges[:, 1:2])),
+                     jnp.float32)
+    rng = np.random.default_rng(6)
+    P = 24
+    pe = jnp.asarray(rng.integers(0, eng.num_edges, P, dtype=np.int32))
+    pq = jnp.asarray(rng.integers(0, 8, P, dtype=np.int32))
+    args = (eng.consts, blo.tU[pe], blo.tV[pe], tQ[pq], blo.ls[pe],
+            sm[pq], blo.lengths[pe], invq[pq])
+    ref_out = newton.blo_optimize_batch(*args, sliding=True)
+    pal_out = blo_optimize_batch_pallas(*args, interpret=True,
+                                        has_pinv=True)
+    logl_diff = np.abs(np.asarray(ref_out[0]) - np.asarray(pal_out[0]))
+    assert logl_diff.max() < 0.05, logl_diff.max()
+    sharp = logl_diff < 1e-3
+    pd = np.abs(np.asarray(ref_out[1]) - np.asarray(pal_out[1]))[sharp]
+    assert pd.max() < 0.05
