@@ -150,6 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
                       help="Static candidate budget of the fused placement "
                            "step under the dynamic heuristic (TPU "
                            "extension; saturated queries re-run wider).")
+    comp.add_argument("--pallas", choices=["auto", "on", "off"],
+                      default=None,
+                      help="Pallas Newton-kernel dispatch: auto "
+                           "(default; used whenever supported), on "
+                           "(error if unsupported), off (always the "
+                           "XLA kernel; TPU extension).")
     comp.add_argument("--adaptive-split", action="store_true",
                       help="Multi-host runs: shard the query file "
                            "proportionally to each host's measured "
@@ -270,6 +276,8 @@ def options_from_args(args) -> Options:
         o.lookup_dtype = args.lookup_dtype
     if args.fused_topk is not None:
         o.fused_topk = args.fused_topk
+    if args.pallas is not None:
+        o.pallas = args.pallas
     o.memsave = args.memsave
     return o
 
