@@ -370,7 +370,8 @@ class PlacementEngine:
 
     def _use_pallas(self, width: int) -> bool:
         """Dispatch the Newton stage to the Pallas kernel? TPU backend,
-        DNA (K=4) or protein (K=20) single-matrix model, pinv=0, f32,
+        DNA (K=4) or protein (K=20) models — single-matrix or
+        matrix-mixture (LG4M/LG4X), with or without +I — f32,
         sliding mode only. In mesh mode the kernel runs
         per device inside the shard_map'd step (every chip keeps the
         single-chip kernel, like the reference's per-rank SIMD kernels
@@ -384,9 +385,9 @@ class PlacementEngine:
               and jax.default_backend() == "tpu")
         if opt == "on" and not ok:
             raise ValueError(
-                "pallas=on requires a TPU backend, a DNA/AA "
-                "single-matrix model, pinv=0, f32, "
-                "sliding BLO")
+                "pallas=on requires a TPU backend, a DNA/AA model "
+                "(single-matrix or mixture), f32, sliding BLO, and a "
+                "site window within the kernel's VMEM budget")
         return ok
 
     # ------------------------------------------------------------------
