@@ -543,7 +543,7 @@ def run_roofline():
     # gather+transpose prologue cost (the full jitted dispatch, minus the
     # kernel time at the same smoothing cap)
     t_disp = timeit(lambda: _blo_blocked(
-        engine.consts, blo.tU, blo.tV, blo.ls, blo.lengths, tQ,
+        engine.consts, blo.tU, blo.tV, blo.ls, blo.lengths, tQ, invq,
         jnp.asarray(e_ids), jnp.asarray(q_ids), jnp.asarray(begins),
         jnp.asarray(spans), offs_j, Wb, 2))
 
@@ -628,7 +628,7 @@ def run_pallas_parity():
                         max_smoothings=newton.SMOOTHINGS, use_pallas=True)
     offs, Wb = plan_blocks_pairs(begins, begins + spans, S)
     blk = _blo_blocked(engine.consts, blo.tU, blo.tV, blo.ls, blo.lengths,
-                       tQ, jnp.asarray(e_ids), jnp.asarray(q_ids),
+                       tQ, invq, jnp.asarray(e_ids), jnp.asarray(q_ids),
                        jnp.asarray(begins), jnp.asarray(spans),
                        jnp.asarray(offs), Wb, newton.SMOOTHINGS)
     # --- fused-vs-exact placement equality ON HARDWARE: the fused step's
@@ -681,7 +681,7 @@ def run_pallas_parity():
                           use_pallas=False)
     aoffs, aWb = plan_blocks_pairs(ab, ab + asp, aS)
     a_blk = _blo_blocked(aeng.consts, ablo.tU, ablo.tV, ablo.ls,
-                         ablo.lengths, atQ, jnp.asarray(ae),
+                         ablo.lengths, atQ, ainvq, jnp.asarray(ae),
                          jnp.asarray(aq), jnp.asarray(ab),
                          jnp.asarray(asp), jnp.asarray(aoffs), aWb,
                          newton.SMOOTHINGS)
