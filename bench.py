@@ -170,12 +170,13 @@ def run_e2e():
     # 4-bit binary) query file — the reference's cluster input format
     from epa_ng_tpu.io.bfast import fasta_to_bfast
     qbin = fasta_to_bfast(qpath, tmp)
-    with contextlib.redirect_stdout(io.StringIO()):
-        rc = cli.main(["--tree", tpath, "--ref-msa", rpath,
-                       "--query", qbin, "-m", MODEL, "-w", tmp, "--redo",
-                       "--chunk-size", str(CHUNK)])
-    assert rc == 0, f"bfast e2e CLI run failed rc={rc}"
-    bstats = dict(cli.LAST_RUN_STATS)
+    for _ in range(2):  # same warm-run semantics as the fasta timing
+        with contextlib.redirect_stdout(io.StringIO()):
+            rc = cli.main(["--tree", tpath, "--ref-msa", rpath,
+                           "--query", qbin, "-m", MODEL, "-w", tmp,
+                           "--redo", "--chunk-size", str(CHUNK)])
+        assert rc == 0, f"bfast e2e CLI run failed rc={rc}"
+        bstats = dict(cli.LAST_RUN_STATS)
 
     return {"qps": N_QUERIES / s["placing_s"],
             "placing_s": s["placing_s"],
@@ -436,19 +437,34 @@ def run_extra_configs(deadline: float | None = None):
 
     # --memsave out-of-core mode: the q/s cost of host-resident state
     # (evidence for the "dominates the reference's disk paging" claim in
-    # core.memsave; same workload as the bigtree config above)
+    # core.memsave; same workload as the bigtree config above). Three
+    # budget tiers: pure streaming (budget 0 — nothing device-resident),
+    # a budget HALF the store (the realistic out-of-core case: the device
+    # cache covers part of the tree, the rest streams), and the full
+    # store cached (the reference's "pool big enough" case). `qps` is the
+    # half-budget tier — the honest out-of-core headline.
     if out_of_time("memsave"):
         return out
     tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
                                    seed=19)
-    qps, dt, eng = _measure_engine(
-        tree, ref, qry, {"model": MODEL,
-                         "options": Options(compute_dtype="f32",
-                                            memsave=True)}, 512,
-        engine_kind="memsave")
+    tiers = {}
+    eng = None
+    for name, gb in (("stream", 0.0), ("half", None), ("cached", 1e3)):
+        if eng is not None and gb is None:
+            gb = eng.host_resident_bytes() / 2 / 1e9
+        qps, dt, eng = _measure_engine(
+            tree, ref, qry, {"model": MODEL,
+                             "options": Options(compute_dtype="f32",
+                                                memsave=True,
+                                                memsave_budget_gb=gb)}, 512,
+            engine_kind="memsave")
+        tiers[name] = {"qps": round(qps, 2), "wall_s": round(dt, 3),
+                       "cached_edges": eng._blo_cache_edges,
+                       "cached_mb": round(eng.device_cached_bytes() / 1e6,
+                                          1)}
     out["memsave"] = {
-        "qps": round(qps, 2), "taxa": 2048, "edges": 4093,
-        "queries": 2048, "wall_s": round(dt, 3),
+        "qps": tiers["half"]["qps"], "taxa": 2048, "edges": 4093,
+        "queries": 2048, "tiers": tiers,
         "host_resident_gb": round(eng.host_resident_bytes() / 1e9, 3)}
     return out
 

@@ -141,6 +141,13 @@ def build_parser() -> argparse.ArgumentParser:
                            "host RAM and streams to the device per chunk "
                            "(the analog of the reference's -b CLV "
                            "paging).")
+    comp.add_argument("--memsave-budget", type=float, default=None,
+                      metavar="GB",
+                      help="--memsave device-cache budget in GB: a prefix "
+                           "of the reference-state tensors stays "
+                           "device-resident and only the rest streams "
+                           "(default: auto from device memory; 0 = pure "
+                           "streaming).")
     comp.add_argument("--lookup-dtype", choices=["auto", "bf16"],
                       default=None,
                       help="Preplacement lookup-table storage: bf16 halves "
@@ -279,6 +286,8 @@ def options_from_args(args) -> Options:
     if args.pallas is not None:
         o.pallas = args.pallas
     o.memsave = args.memsave
+    if args.memsave_budget is not None:
+        o.memsave_budget_gb = args.memsave_budget
     return o
 
 

@@ -872,12 +872,17 @@ class PlacementEngine:
         filter_pqueries(sub_pqs, opts)
         return sub_pqs
 
-    def _thorough(self, pair_e, pair_q, codes, ranges, qt=None):
+    def _thorough(self, pair_e, pair_q, codes, ranges, qt=None, blo=None):
         """Blocked vmapped Newton BLO over the pair list, with range
         bucketing: pairs are grouped by their query's valid-range width
         (rounded up to powers of two) and each bucket computes only a
         site-window of that width — the TPU analog of the reference's
-        premasking/``shift_partition_focus`` payoff on short reads."""
+        premasking/``shift_partition_focus`` payoff on short reads.
+
+        ``blo`` overrides the edge-tensor store (same attribute layout as
+        ``self.blo``, edge ids indexing its rows): the --memsave device
+        cache routes its cache-HIT pairs through this same path against a
+        device-resident PREFIX of the store."""
         if self._sharded is not None:
             # mesh mode: the BLO store lives sharded across devices; the
             # rare exact-redo batches gather per-pair windows from the
@@ -908,7 +913,7 @@ class PlacementEngine:
         qwidths = np.minimum(qwidths, S)
         widths = qwidths[pair_q]
 
-        blo = self.blo
+        blo = self.blo if blo is None else blo
         out_logl = np.zeros(P)
         out_pendant = np.zeros(P)
         out_distal = np.zeros(P)

@@ -1,40 +1,67 @@
-"""Out-of-core placement: host-RAM-resident reference state, streamed to
-the device per chunk.
+"""Out-of-core placement: host-RAM-resident reference state, a
+budget-bounded device cache, and streamed placement for the remainder.
 
 The reference runs trees whose CLV set exceeds RAM by lazily paging CLVs
-from the binary store under a per-CLV mutex (-b mode,
-/root/reference/src/tree/Tree.cpp:80-117). The single-chip TPU analog: the
-lookup table and BLO store live in HOST RAM (built once on the CPU
-backend, whose memory ceiling is host-sized), and each chunk streams only
-what it touches through HBM:
+from the binary store into a bounded memory pool under a per-CLV mutex
+(-b mode, /root/reference/src/tree/Tree.cpp:80-117). The single-chip TPU
+analog has the same two tiers:
 
-- preplacement scores accumulate edge-block by edge-block (each block's
-  table slice is transferred, contracted on the MXU, and discarded), so
-  peak HBM is O(block) instead of O(E);
-- the thorough stage gathers per-pair SITE WINDOWS of the candidate
-  edges' tensors on the host (vectorized fancy indexing — the analog of
-  ``shift_partition_focus`` pointer arithmetic) and ships compact
-  [pairs, RK, W] batches to the Newton kernel.
+- the lookup table and BLO store are built on the CPU backend (host-sized
+  memory ceiling) and live in HOST RAM;
+- a PREFIX of both stores, sized by ``--memsave-budget`` (default: a
+  fraction of device memory), stays device-resident — the analog of the
+  reference's memory pool. Cache-hit work runs the normal device kernels;
+- the remainder streams per chunk with bounded-depth pipelining (uploads
+  overlap device compute and result downloads ride
+  ``copy_to_host_async``), so peak HBM stays O(budget + blocks in
+  flight):
 
-Slower than device-resident mode (every chunk re-streams the table), but
-tree size is bounded by host RAM, not HBM — strictly dominating the
-reference's disk-paged mode. Enabled with --memsave; multi-chip ``ep``
-edge sharding (parallel.mesh) remains the fast path for big trees when
-more chips are available.
+  * preplacement scores accumulate edge-block by edge-block (cached
+    blocks upload once, streamed blocks are transferred, contracted on
+    the MXU, and discarded);
+  * thorough-placement pairs split by their edge id: pairs on cached
+    edges go through ``PlacementEngine._thorough`` against the cached
+    prefix (device-side window gathers); the rest gather per-pair SITE
+    WINDOWS of the host tensors (vectorized fancy indexing — the analog
+    of ``shift_partition_focus``) and ship compact [pairs, RK, W]
+    batches to the Newton kernel.
+
+With a budget that covers the whole store this converges to
+device-resident speed; with budget 0 it is pure streaming, bounded only
+by host RAM — strictly dominating the reference's disk-paged mode at
+both ends. Enabled with --memsave; multi-chip ``ep`` edge sharding
+(parallel.mesh) remains the fast path for big trees when more chips are
+available.
 """
 
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from epa_ng_tpu.core.engine import PlacementEngine
+from epa_ng_tpu.core.engine import PlacementEngine, _start_host_copy
 from epa_ng_tpu.ops import lookup, newton
 
 EDGE_BLOCK = 512  # edges streamed per preplacement step
+PRE_PIPELINE_DEPTH = 2   # streamed preplacement blocks in flight
+SLAB_PIPELINE_DEPTH = 4  # thorough window slabs in flight
+AUTO_BUDGET_FRACTION = 0.35  # of device memory, when discoverable
+AUTO_BUDGET_FALLBACK = 4 << 30
+
+
+def _device_memory_bytes():
+    try:
+        st = jax.devices()[0].memory_stats()
+        if st and st.get("bytes_limit"):
+            return int(st["bytes_limit"])
+    except Exception:
+        pass
+    return None
 
 
 @partial(jax.jit, static_argnames=("sliding", "max_smoothings"))
@@ -46,7 +73,8 @@ def _newton_windows(consts, tu, tv, tq, l, mask, olen, iv, sliding: bool,
 
 
 class OutOfCoreEngine(PlacementEngine):
-    """PlacementEngine whose reference-state tensors live in host RAM."""
+    """PlacementEngine whose reference-state tensors live in host RAM,
+    fronted by a budget-bounded device cache."""
 
     def __init__(self, tree, ref_msa, model, options=None):
         cpu = jax.devices("cpu")[0]
@@ -67,8 +95,8 @@ class OutOfCoreEngine(PlacementEngine):
     # ------------------------------------------------------------------
 
     def _offload(self):
-        """Move the big tensors to host numpy; consts back to the default
-        (accelerator) device."""
+        """Move the big tensors to host numpy, fill the device cache up
+        to the budget; consts back to the default (accelerator) device."""
         table = self._lookup_table
         if isinstance(table, tuple):
             self._resid_np = np.asarray(table[0])
@@ -85,6 +113,55 @@ class OutOfCoreEngine(PlacementEngine):
         self._lengths_np = np.asarray(blo.lengths)
         self._blo = None
         self.consts = jax.device_put(self.consts)
+        self._init_cache()
+
+    def _init_cache(self):
+        """Size the device cache (the reference's -b memory-pool analog):
+        the budget is split between the preplacement table and the BLO
+        store proportionally to their total sizes, each caching a prefix
+        of whole blocks / edges."""
+        gb = getattr(self.options, "memsave_budget_gb", None)
+        if gb is None:
+            dev = _device_memory_bytes()
+            budget = (int(dev * AUTO_BUDGET_FRACTION) if dev
+                      else AUTO_BUDGET_FALLBACK)
+        else:
+            budget = int(gb * 1e9)
+        self._budget_bytes = budget
+        E = self.num_edges
+        eb = min(EDGE_BLOCK, E)
+        self._pre_block = eb
+        n_blocks = -(-E // eb)
+        pre_total = self._resid_np.nbytes + self._mean_np.nbytes
+        blo_total = (self._tU_np.nbytes + self._tV_np.nbytes
+                     + self._ls_np.nbytes)
+        total = pre_total + blo_total
+        pre_budget = budget * pre_total // max(1, total)
+        blo_budget = budget - pre_budget
+        pre_block_bytes = -(-pre_total // n_blocks)
+        self._pre_cache_nblocks = min(
+            n_blocks, int(pre_budget // max(1, pre_block_bytes)))
+        self._pre_cache: dict[int, tuple] = {}  # filled on first touch
+        blo_per_edge = -(-blo_total // E)
+        C = min(E, int(blo_budget // max(1, blo_per_edge)))
+        self._blo_cache_edges = C
+        if C > 0:
+            self._blo_cache = SimpleNamespace(
+                tU=jnp.asarray(self._tU_np[:C]),
+                tV=jnp.asarray(self._tV_np[:C]),
+                ls=jnp.asarray(self._ls_np[:C]),
+                lengths=jnp.asarray(self._lengths_np))
+        else:
+            self._blo_cache = None
+
+    def device_cached_bytes(self) -> int:
+        n = 0
+        if self._blo_cache is not None:
+            n += (self._blo_cache.tU.nbytes + self._blo_cache.tV.nbytes
+                  + self._blo_cache.ls.nbytes)
+        for r, m in self._pre_cache.values():
+            n += r.nbytes + m.nbytes
+        return n
 
     # the fused fast path needs device-resident tensors: always exact
     def place_encoded_async(self, ec, seq_id_offset: int = 0):
@@ -110,9 +187,9 @@ class OutOfCoreEngine(PlacementEngine):
         codes_j = jnp.asarray(codes)
         begins = jnp.asarray(ranges[:, 0])
         spans = jnp.asarray(ranges[:, 1])
-        eb = min(EDGE_BLOCK, E)
-        for e0 in range(0, E, eb):
-            e1 = min(e0 + eb, E)
+        eb = self._pre_block
+
+        def block_tensors(e0, e1):
             # pad the last block so one jit signature serves all blocks
             r = np.empty((eb,) + self._resid_np.shape[1:],
                          self._resid_np.dtype)
@@ -122,15 +199,67 @@ class OutOfCoreEngine(PlacementEngine):
             if e1 - e0 < eb:
                 r[e1 - e0:] = 0
                 m[e1 - e0:] = 0
-            block = lookup.preplace_scores(
-                (jnp.asarray(r), jnp.asarray(m)), codes_j, begins, spans)
+            return jnp.asarray(r), jnp.asarray(m)
+
+        # bounded-depth pipeline: block b+1's upload overlaps block b's
+        # contraction and result download (draining the oldest entry
+        # bounds in-flight HBM at O(depth * block))
+        pending = deque()
+
+        def drain_one():
+            e0, e1, block = pending.popleft()
             scores[:, e0:e1] = np.asarray(block)[:, :e1 - e0]
+
+        for bi, e0 in enumerate(range(0, E, eb)):
+            e1 = min(e0 + eb, E)
+            if bi < self._pre_cache_nblocks:
+                pair = self._pre_cache.get(bi)
+                if pair is None:  # first touch: upload once, keep
+                    pair = block_tensors(e0, e1)
+                    self._pre_cache[bi] = pair
+            else:
+                pair = block_tensors(e0, e1)
+            block = lookup.preplace_scores(pair, codes_j, begins, spans)
+            _start_host_copy(block)
+            pending.append((e0, e1, block))
+            if len(pending) > PRE_PIPELINE_DEPTH:
+                drain_one()
+        while pending:
+            drain_one()
         return scores
 
-    # -- thorough placement over host-gathered windows ------------------
+    # -- thorough placement: cached-prefix hits + host-gathered misses --
 
     def _thorough(self, pair_e, pair_q, codes, ranges, qt=None):
-        return host_window_thorough(self, pair_e, pair_q, codes, ranges, qt)
+        qt = qt if qt is not None else self._query_tensors_codes(codes)
+        C = self._blo_cache_edges
+        if C <= 0 or self._blo_cache is None:
+            return host_window_thorough(self, pair_e, pair_q, codes,
+                                        ranges, qt)
+        hit = pair_e < C
+        if hit.all():
+            return PlacementEngine._thorough(
+                self, pair_e, pair_q, codes, ranges,
+                qt=(jnp.asarray(qt[0]), jnp.asarray(qt[1])),
+                blo=self._blo_cache)
+        if not hit.any():
+            return host_window_thorough(self, pair_e, pair_q, codes,
+                                        ranges, qt)
+        P = len(pair_e)
+        logl = np.zeros(P)
+        pend = np.zeros(P)
+        dist = np.zeros(P)
+        hi = np.nonzero(hit)[0]
+        mi = np.nonzero(~hit)[0]
+        lh, ph, dh = PlacementEngine._thorough(
+            self, pair_e[hi], pair_q[hi], codes, ranges,
+            qt=(jnp.asarray(qt[0]), jnp.asarray(qt[1])),
+            blo=self._blo_cache)
+        lm, pm, dm = host_window_thorough(self, pair_e[mi], pair_q[mi],
+                                          codes, ranges, qt)
+        logl[hi], pend[hi], dist[hi] = lh, ph, dh
+        logl[mi], pend[mi], dist[mi] = lm, pm, dm
+        return logl, pend, dist
 
     def host_resident_bytes(self) -> int:
         return (self._resid_np.nbytes + self._mean_np.nbytes
@@ -158,9 +287,11 @@ def host_window_thorough(eng, pair_e, pair_q, codes, ranges, qt=None):
     """Thorough placement with HOST-resident BLO tensors: per-pair site
     windows are gathered on the host (vectorized fancy indexing — the
     analog of ``shift_partition_focus``) and shipped as compact batches
-    to the XLA Newton kernel. Shared by OutOfCoreEngine (--memsave) and
-    mesh mode's exact-redo fallback (PlacementEngine.attach_mesh); ``eng``
-    must carry _tU_np/_tV_np/_ls_np/_lengths_np host copies."""
+    to the XLA Newton kernel, pipelined at bounded depth so uploads,
+    device compute and result downloads overlap. Shared by
+    OutOfCoreEngine (--memsave cache misses) and mesh mode's exact-redo
+    fallback (PlacementEngine.attach_mesh); ``eng`` must carry
+    _tU_np/_tV_np/_ls_np/_lengths_np host copies."""
     opts = eng.options
     S = eng.num_sites
     P = len(pair_e)
@@ -188,6 +319,16 @@ def host_window_thorough(eng, pair_e, pair_q, codes, ranges, qt=None):
         while blk < min(len(idx), opts.blo_block):
             blk *= 2
         order = idx[np.argsort(widths[idx], kind="stable")]
+        pending = deque()
+
+        def drain_one():
+            sel, n, res = pending.popleft()
+            logl, pendant, distal_rep, _, _, done = res
+            out_logl[sel] = np.asarray(logl)[:n]
+            out_pendant[sel] = np.asarray(pendant)[:n]
+            out_distal[sel] = np.asarray(distal_rep)[:n]
+            done_out[sel] = np.asarray(done)[:n]
+
         for W in np.unique(widths[idx]):
             widx = order[widths[order] == W]
             for start in range(0, len(widx), blk):
@@ -209,11 +350,13 @@ def host_window_thorough(eng, pair_e, pair_q, codes, ranges, qt=None):
                     jnp.asarray(mask.astype(tu.dtype)),
                     jnp.asarray(eng._lengths_np[pe]), jnp.asarray(iv),
                     opts.sliding_blo, cap)
-                logl, pendant, distal_rep, _, _, done = res
-                out_logl[sel] = np.asarray(logl)[:n]
-                out_pendant[sel] = np.asarray(pendant)[:n]
-                out_distal[sel] = np.asarray(distal_rep)[:n]
-                done_out[sel] = np.asarray(done)[:n]
+                for a in res:
+                    _start_host_copy(a)
+                pending.append((sel, n, res))
+                if len(pending) > SLAB_PIPELINE_DEPTH:
+                    drain_one()
+        while pending:
+            drain_one()
         return done_out
 
     all_idx = np.arange(P)

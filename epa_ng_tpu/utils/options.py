@@ -79,3 +79,9 @@ class Options:
     # out-of-core mode: reference state in host RAM, streamed per chunk
     # (core.memsave; the analog of the reference's -b paging)
     memsave: bool = False
+    # --memsave device-cache budget in GB: a PREFIX of the reference-state
+    # tensors stays device-resident (the analog of the reference's paged
+    # memory pool, src/tree/Tree.cpp:80-117) and only the remainder
+    # streams per chunk. None = auto (a fraction of device memory);
+    # 0 = pure streaming (nothing O(E*S) device-resident)
+    memsave_budget_gb: float | None = None

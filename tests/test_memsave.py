@@ -58,16 +58,46 @@ def test_memsave_no_heur_and_no_premask(data):
 
 
 def test_memsave_device_footprint(data):
-    """Nothing O(E*S) may stay device-resident."""
+    """With budget 0 (pure streaming) nothing O(E*S) may stay
+    device-resident; with a budget, the cache must stay under it."""
     tree, ref, qry = data
     ooc = OutOfCoreEngine(tree, ref, Model.from_string(MODEL),
-                          Options(memsave=True))
+                          Options(memsave=True, memsave_budget_gb=0.0))
     assert ooc._lookup_table is None and ooc._blo is None
     assert ooc.edges is None
+    assert ooc._blo_cache is None and ooc._pre_cache_nblocks == 0
     assert isinstance(ooc._tU_np, np.ndarray)
     assert ooc.host_resident_bytes() > 0
     pqs = ooc.place_chunk(qry)
     assert len(pqs) == len(qry)
+    assert ooc.device_cached_bytes() == 0
+
+    budget = 5e-4  # 500 kB: covers a few edges, far below the store
+    ooc2 = OutOfCoreEngine(tree, ref, Model.from_string(MODEL),
+                           Options(memsave=True, memsave_budget_gb=budget))
+    assert 0 <= ooc2._blo_cache_edges < ooc2.num_edges
+    ooc2.place_chunk(qry)
+    assert ooc2.device_cached_bytes() <= budget * 1e9
+
+
+def test_memsave_budget_tiers_equal(data):
+    """Pure-streaming, partial-cache (hit+miss split) and all-cached
+    budgets must all reproduce the device-resident engine exactly."""
+    tree, ref, qry = data
+    dev = PlacementEngine(tree, ref, Model.from_string(MODEL),
+                          Options(blo_block=64))
+    expected = dev._place_chunk_exact(dev.encode_msa(qry), 0)
+    seen_partial = False
+    for gb in (0.0, 5e-4, 100.0):
+        ooc = OutOfCoreEngine(tree, ref, Model.from_string(MODEL),
+                              Options(blo_block=64, memsave=True,
+                                      memsave_budget_gb=gb))
+        _compare(expected, ooc.place_chunk(qry))
+        if 0 < ooc._blo_cache_edges < ooc.num_edges:
+            seen_partial = True
+    assert seen_partial, "no budget exercised the mixed hit/miss split"
+    # the big budget must cache the full store (device-resident speed)
+    assert ooc._blo_cache_edges == ooc.num_edges
 
 
 def test_memsave_streamed_preplace_matches(data):
