@@ -48,7 +48,8 @@ TOPK = 8
 MODEL = "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}"
 
 
-def run_fused_step():
+def run_fused_step(n_taxa=None, sites=None, n_queries=None, chunk=None,
+                   topk=None, seed=7):
     """Steady-state fused-step throughput (device pipeline only)."""
     import numpy as np
 
@@ -63,8 +64,14 @@ def run_fused_step():
     from epa_ng_tpu.utils.options import Options
     from epa_ng_tpu.utils.synth import synth_dataset
 
+    N_TAXA = n_taxa or globals()["N_TAXA"]
+    SITES = sites or globals()["SITES"]
+    N_QUERIES = n_queries or globals()["N_QUERIES"]
+    CHUNK = chunk or globals()["CHUNK"]
+    TOPK = topk or globals()["TOPK"]
+
     tree, ref, qry = synth_dataset(n_taxa=N_TAXA, sites=SITES,
-                                   n_queries=N_QUERIES, seed=7)
+                                   n_queries=N_QUERIES, seed=seed)
     model = Model.from_string(MODEL)
     opts = Options(compute_dtype="f32", premasking=True)
     engine = PlacementEngine(tree, ref, model, opts)
@@ -398,6 +405,21 @@ def run_extra_configs(deadline: float | None = None):
         reps=2)
     out["bigtree"] = {"qps": round(qps, 2), "taxa": 2048, "edges": 4093,
                       "queries": 2048, "wall_s": round(dt, 3)}
+
+    # paper-scale tree: the 310 q/s/node baseline derives from the EPA-ng
+    # paper's 3748-taxon workload (doi:10.1093/sysbio/syy054), while the
+    # headline runs a 512-taxon tree — this config reruns the SAME fused
+    # steady-state measurement on a 4096-taxon tree (8187 edges) so the
+    # vs-baseline comparison also exists at matched tree size
+    if out_of_time("paperscale"):
+        return out
+    ps = run_fused_step(n_taxa=4096, sites=SITES, n_queries=4096,
+                        chunk=1024, seed=29)
+    out["paperscale"] = {
+        "qps": round(ps["qps"], 2), "taxa": 4096, "edges": ps["edges"],
+        "queries": 4096, "wall_s": round(ps["wall_s"], 3),
+        "vs_baseline_same_tree_scale": round(
+            ps["qps"] / REFERENCE_NODE_QPS, 2)}
 
     # site-pattern compression (SITE_REPEATS analog): init-time speedup on
     # a pattern-heavy alignment (256 unique columns tiled to 2048 sites —

@@ -216,8 +216,9 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
         # with a tiny cap, then rerun only the unconverged tail (compacted
         # on device into a B/4 budget) with the full budget — the same
         # trick the blocked Pallas path plays per 128-pair block. This is
-        # the hot path for AA/mixture/p-inv models and the wide-budget
-        # redo step, none of which the Pallas kernel supports.
+        # the hot path off-TPU, for f64/raxml-blo runs, and for the
+        # wide-budget redo step (AA/mixture/+I now ride the Pallas
+        # instantiations when supported).
         B = Q * topk
         max_sm = newton.SMOOTHINGS
         two_phase = bool(phase1) and phase1 < max_sm and B >= 256
