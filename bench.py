@@ -405,6 +405,20 @@ def run_extra_configs(deadline: float | None = None):
         reps=2)
     out["bigtree"] = {"qps": round(qps, 2), "taxa": 2048, "edges": 4093,
                       "queries": 2048, "wall_s": round(dt, 3)}
+    # same tree scale with model-EVOLVED queries (peaked posteriors like
+    # real reads): random-character queries saturate the candidate budget
+    # far more often on big trees (every edge explains noise equally
+    # badly), so the uniform-random number above is the worst case and
+    # this one is the realistic-workload case
+    etree, eref, eqry, _ = evolved_dataset(n_taxa=2048, sites=256,
+                                           n_queries=2048, seed=19,
+                                           model_str=MODEL)
+    qps, dt, _ = _measure_engine(
+        etree, eref, eqry, {"model": MODEL,
+                            "options": Options(compute_dtype="f32")}, 512,
+        reps=2)
+    out["bigtree"]["qps_evolved"] = round(qps, 2)
+    out["bigtree"]["wall_s_evolved"] = round(dt, 3)
 
     # paper-scale tree: the 310 q/s/node baseline derives from the EPA-ng
     # paper's 3748-taxon workload (doi:10.1093/sysbio/syy054), while the

@@ -73,3 +73,22 @@ def test_heuristic_matches_exhaustive_on_evolved(evolved):
     # of logl units at most — the BLO convergence epsilon alone is 0.1)
     assert shortfall.mean() <= 0.05, f"mean shortfall: {shortfall.mean()}"
     assert shortfall.max() <= 2.0, f"max logl shortfall: {shortfall.max()}"
+
+
+def test_true_edge_recovery_protein():
+    """Same recovery check for AA reads (protein placement is a
+    first-class reference mode: test/data/AA_aln.fasta). 20-state
+    posteriors are sharper per site, so recovery should be no worse."""
+    from epa_ng_tpu.utils.synth import AA
+    tree, ref, qry, true_edges = evolved_dataset(
+        n_taxa=24, sites=192, n_queries=48, seed=9, model_str="LG+G4{0.8}",
+        alphabet=AA)
+    engine = PlacementEngine(tree, ref, Model.from_string("LG+G4{0.8}"),
+                             Options(compute_dtype="f64"))
+    pqs = engine.place_chunk(qry)
+    adj = _adjacent_sets(tree)
+    best = np.array([int(pq.edge_nums[0]) for pq in pqs])
+    exact = (best == true_edges).mean()
+    near = np.mean([b in adj[t] for b, t in zip(best, true_edges)])
+    assert exact >= 0.55, f"AA exact recovery too low: {exact}"
+    assert near >= 0.80, f"AA within-one-edge recovery too low: {near}"
