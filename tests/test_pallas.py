@@ -55,15 +55,18 @@ def test_pallas_blo_matches_xla_interpret():
 
 def test_pallas_blo_aa_matches_xla_interpret():
     """K=20 instantiation of the same kernel (protein models): the state
-    count is a trace-time constant derived from the ref shapes."""
+    count is a trace-time constant derived from the ref shapes. Two gamma
+    categories, not four: the interpreter compiles the unrolled R*K^2
+    back-transform fan-out on the CPU, so halving R halves a
+    multi-minute compile while exercising the same K=20 code paths."""
     from epa_ng_tpu.utils.synth import AA
 
     tree, ref, qry = synth_dataset(n_taxa=12, sites=64, n_queries=8, seed=7,
                                    alphabet=AA)
-    eng = PlacementEngine(tree, ref, Model.from_string("LG+G4{0.8}"),
+    eng = PlacementEngine(tree, ref, Model.from_string("LG+G2{0.8}"),
                           Options(compute_dtype="f32"))
     assert blo_supported(eng.consts, 64)
-    assert not blo_supported(eng.consts, 512)  # K=20 VMEM width cap
+    assert not blo_supported(eng.consts, 1024)  # K=20 VMEM width cap
     blo = eng.blo
     codes, qmasks, ranges = eng._encode_chunk(qry)
     tQ, invq = eng._query_tensors(qmasks)
@@ -158,14 +161,16 @@ def test_pallas_blocked_matches_plain_interpret():
 def test_pallas_blo_mixture_matches_xla_interpret(tmp_path):
     """Matrix-mixture (LG4M/LG4X mechanism) instantiation: per-rate
     eigen systems ride [RK, K] coefficient tables and a per-category
-    query tip; must match the XLA mixture path."""
+    query tip; must match the XLA mixture path. Two components, not
+    four, for the same interpret-compile-cost reason as the AA test
+    (the per-rate mechanism is identical at any component count)."""
     from epa_ng_tpu.models import aa_matrices
     from epa_ng_tpu.utils.synth import AA
 
     rng_comps = np.random.RandomState(11)
     lg_rates, lg_freqs = aa_matrices.MATRICES["LG"]
     comps = []
-    for i in range(4):
+    for i in range(2):
         r = lg_rates * np.exp(0.35 * rng_comps.randn(190))
         f = lg_freqs * np.exp(0.35 * rng_comps.randn(20))
         comps.append((r, f / f.sum()))
@@ -174,13 +179,13 @@ def test_pallas_blo_mixture_matches_xla_interpret(tmp_path):
         tree, ref, qry = synth_dataset(n_taxa=10, sites=48, n_queries=6,
                                        seed=15, alphabet=AA)
         eng = PlacementEngine(tree, ref,
-                              Model.from_string("TESTPALLAS4M+G4{0.9}"),
+                              Model.from_string("TESTPALLAS4M+G2{0.9}"),
                               Options(compute_dtype="f32"))
         assert blo_supported(eng.consts, 48)
         blo = eng.blo
         codes, qmasks, ranges = eng._encode_chunk(qry)
         tQ, invq = eng._query_tensors(qmasks)
-        assert tQ.shape[1] == 80  # per-category tip: RK rows
+        assert tQ.shape[1] == 40  # per-category tip: RK rows
         site = np.arange(48)
         sm = jnp.asarray(((site[None, :] >= ranges[:, :1])
                           & (site[None, :] < ranges[:, :1]
