@@ -205,11 +205,12 @@ def run_e2e():
 
 def _measure_engine(tree, ref, qry, opts, chunk: int,
                     engine_kind: str = "device", mesh_spec=None,
-                    reps: int = 1):
+                    reps: int = 1, engine=None):
     """Chunk-pipelined engine throughput (dispatch all, then finalize all)
     with a first-chunk warmup; returns queries/s (best of ``reps`` —
     relay jitter and one-off redo-shape compiles land in the first
-    timed pass)."""
+    timed pass). ``engine``: reuse a prebuilt engine (skips the
+    reference-state build, which dominates section wall time)."""
     import jax
 
     from epa_ng_tpu.core import chunk as chunk_mod
@@ -221,8 +222,9 @@ def _measure_engine(tree, ref, qry, opts, chunk: int,
         from epa_ng_tpu.core.memsave import OutOfCoreEngine as engine_cls
     else:
         engine_cls = PlacementEngine
-    engine = engine_cls(tree, ref, Model.from_string(opts.pop("model")),
-                        opts.pop("options"))
+    if engine is None:
+        engine = engine_cls(tree, ref, Model.from_string(opts.pop("model")),
+                            opts.pop("options"))
     if mesh_spec is not None:
         from epa_ng_tpu.parallel.mesh import make_mesh
         engine.attach_mesh(make_mesh(*mesh_spec))
@@ -284,7 +286,8 @@ def run_extra_configs(deadline: float | None = None):
     qps, dt, eng = _measure_engine(
         tree, ref, qry, {"model": MODEL,
                          "options": Options(compute_dtype="f32",
-                                            prescoring=False)}, 512)
+                                            prescoring=False)}, 512,
+        reps=2)
     pairs = 1024 * eng.num_edges
     W = 256  # bucketed window ~= read width
     bytes_per_pair = 2 * 16 * W * 4  # tU+tV rows touched per smoothing
@@ -441,6 +444,49 @@ def run_extra_configs(deadline: float | None = None):
         "vs_baseline_same_tree_scale": round(
             ps["qps"] / REFERENCE_NODE_QPS, 2)}
 
+    # --memsave out-of-core mode: the q/s cost of host-resident state
+    # (evidence for the "dominates the reference's disk paging" claim in
+    # core.memsave; same workload as the bigtree config above). Three
+    # budget tiers: pure streaming (budget 0 — nothing device-resident),
+    # a budget HALF the store (the realistic out-of-core case: the device
+    # cache covers part of the tree, the rest streams), and the full
+    # store cached (the reference's "pool big enough" case). `qps` is the
+    # half-budget tier — the honest out-of-core headline. One engine
+    # serves all tiers (_init_cache re-sizes the device cache in-place;
+    # rebuilding the 2048-taxon reference state on the CPU backend per
+    # tier would triple this sub-config's wall time).
+    if out_of_time("memsave"):
+        return out
+    tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
+                                   seed=19)
+    tiers = {}
+    eng = None
+    for name, gb in (("stream", 0.0), ("half", None), ("cached", 1e3)):
+        if eng is None:
+            qps, dt, eng = _measure_engine(
+                tree, ref, qry,
+                {"model": MODEL,
+                 "options": Options(compute_dtype="f32", memsave=True,
+                                    memsave_budget_gb=gb)}, 512,
+                engine_kind="memsave")
+        else:
+            if gb is None:
+                gb = eng.host_resident_bytes() / 2 / 1e9
+            eng.options.memsave_budget_gb = gb
+            eng._pre_cache.clear()
+            eng._init_cache()
+            qps, dt, eng = _measure_engine(tree, ref, qry, {}, 512,
+                                           engine_kind="memsave",
+                                           engine=eng)
+        tiers[name] = {"qps": round(qps, 2), "wall_s": round(dt, 3),
+                       "cached_edges": eng._blo_cache_edges,
+                       "cached_mb": round(eng.device_cached_bytes() / 1e6,
+                                          1)}
+    out["memsave"] = {
+        "qps": tiers["half"]["qps"], "taxa": 2048, "edges": 4093,
+        "queries": 2048, "tiers": tiers,
+        "host_resident_gb": round(eng.host_resident_bytes() / 1e9, 3)}
+
     # site-pattern compression (SITE_REPEATS analog): init-time speedup on
     # a pattern-heavy alignment (256 unique columns tiled to 2048 sites —
     # real alignments are pattern-heavy; the fully-random configs above
@@ -476,38 +522,6 @@ def run_extra_configs(deadline: float | None = None):
         "init_s_full": round(full_s, 3),
         "init_s_compressed": round(comp_s, 3),
         "init_speedup": round(full_s / comp_s, 2)}
-
-    # --memsave out-of-core mode: the q/s cost of host-resident state
-    # (evidence for the "dominates the reference's disk paging" claim in
-    # core.memsave; same workload as the bigtree config above). Three
-    # budget tiers: pure streaming (budget 0 — nothing device-resident),
-    # a budget HALF the store (the realistic out-of-core case: the device
-    # cache covers part of the tree, the rest streams), and the full
-    # store cached (the reference's "pool big enough" case). `qps` is the
-    # half-budget tier — the honest out-of-core headline.
-    if out_of_time("memsave"):
-        return out
-    tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
-                                   seed=19)
-    tiers = {}
-    eng = None
-    for name, gb in (("stream", 0.0), ("half", None), ("cached", 1e3)):
-        if eng is not None and gb is None:
-            gb = eng.host_resident_bytes() / 2 / 1e9
-        qps, dt, eng = _measure_engine(
-            tree, ref, qry, {"model": MODEL,
-                             "options": Options(compute_dtype="f32",
-                                                memsave=True,
-                                                memsave_budget_gb=gb)}, 512,
-            engine_kind="memsave")
-        tiers[name] = {"qps": round(qps, 2), "wall_s": round(dt, 3),
-                       "cached_edges": eng._blo_cache_edges,
-                       "cached_mb": round(eng.device_cached_bytes() / 1e6,
-                                          1)}
-    out["memsave"] = {
-        "qps": tiers["half"]["qps"], "taxa": 2048, "edges": 4093,
-        "queries": 2048, "tiers": tiers,
-        "host_resident_gb": round(eng.host_resident_bytes() / 1e9, 3)}
     return out
 
 
