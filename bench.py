@@ -250,280 +250,291 @@ def _measure_engine(tree, ref, qry, opts, chunk: int,
 def run_extra_configs(deadline: float | None = None):
     """Perf evidence beyond the headline point: AA (20-state), --no-heur
     (the exhaustive Q x E Newton sweep), evolved-query accuracy, --mesh
-    1x1, a 2048-taxon tree, pattern compression, --memsave. Most of the
-    section's wall time is engine-init compile-cache loads, so with a
-    cold cache it can exceed the bench budget: ``deadline`` (a
-    time.perf_counter() value) makes the section stop between sub-configs
-    and record what it skipped instead of blowing the budget."""
+    1x1, a 2048-taxon tree (uniform-random AND model-evolved queries),
+    a paper-scale 4096-taxon tree, --memsave budget tiers, pattern
+    compression. Most of the section's wall time is reference-state
+    builds and compile-cache loads, so with a cold cache it can exceed
+    the bench budget: ``deadline`` (a time.perf_counter() value) makes
+    each sub-config SKIP itself (recorded in ``skipped_over_budget``)
+    once the deadline passes — later cheap configs still run, only the
+    one in flight when the deadline hits can overshoot it."""
+    import numpy as _np
+
     from epa_ng_tpu.utils.options import Options
-    from epa_ng_tpu.utils.synth import AA, synth_dataset
+    from epa_ng_tpu.utils.synth import AA, evolved_dataset, synth_dataset
 
     out = {}
 
-    def out_of_time(name: str) -> bool:
-        if deadline is not None and time.perf_counter() > deadline:
-            out.setdefault("skipped_over_budget", []).append(name)
-            return True
-        return False
-
-    # AA: 20 states, 4 rate cats -> RK=80 sublane rows per pair
-    if out_of_time("aa"):
-        return out
-    tree, ref, qry = synth_dataset(n_taxa=256, sites=256, n_queries=2048,
-                                   seed=13, alphabet=AA)
-    qps, dt, _ = _measure_engine(
-        tree, ref, qry, {"model": "LG+G4{0.8}",
-                         "options": Options(compute_dtype="f32")}, 512,
-        reps=2)
-    out["aa"] = {"qps": round(qps, 2), "taxa": 256, "sites": 256,
-                 "queries": 2048, "wall_s": round(dt, 3)}
-
-    # --no-heur: thorough Newton on EVERY (query, edge) pair
-    if out_of_time("noheur"):
-        return out
-    tree, ref, qry = synth_dataset(n_taxa=256, sites=256, n_queries=1024,
-                                   seed=17)
-    qps, dt, eng = _measure_engine(
-        tree, ref, qry, {"model": MODEL,
-                         "options": Options(compute_dtype="f32",
-                                            prescoring=False)}, 512,
-        reps=2)
-    pairs = 1024 * eng.num_edges
-    W = 256  # bucketed window ~= read width
-    bytes_per_pair = 2 * 16 * W * 4  # tU+tV rows touched per smoothing
-    out["noheur"] = {
-        "qps": round(qps, 2), "taxa": 256, "queries": 1024,
-        "wall_s": round(dt, 3),
-        "pair_optimizations_per_s": round(pairs / dt),
-        "approx_hbm_gb_per_s": round(pairs / dt * bytes_per_pair * 2 / 1e9,
-                                     1)}
-
-    # heuristic accuracy vs the exhaustive sweep on MODEL-EVOLVED queries
-    # (the reference's claim: preplacement "sacrifices only insignificant
-    # amounts of accuracy", README.md:179). Evolved queries (simulated
-    # along the tree from a known source edge, utils.synth.evolved_dataset)
-    # have peaked posteriors like real reads, so top-edge agreement is a
-    # meaningful number — random-character queries are tie-dominated and
-    # understate it (r03's 0.373). The same data re-validates the dynamic
-    # pair-budget halving's live-fraction assumption (docs/PERF.md).
-    import numpy as _np
-
-    if out_of_time("accuracy_evolved"):
-        return out
-    from epa_ng_tpu.core.engine import PlacementEngine as _PE
-    from epa_ng_tpu.models import Model as _Model
-    from epa_ng_tpu.utils.synth import evolved_dataset
-
-    etree, eref, eqry, true_edges = evolved_dataset(
-        n_taxa=256, sites=256, n_queries=512, seed=29, model_str=MODEL)
-    eng2 = _PE(etree, eref, _Model.from_string(MODEL),
-               Options(compute_dtype="f32", prescoring=False))
-    pq_full = eng2.place_chunk(eqry)
-    eng2.options.prescoring = True
-    pq_heur = eng2.place_chunk(eqry)
-    agree = _np.mean([int(a.edge_nums[0] == b.edge_nums[0])
-                      for a, b in zip(pq_heur, pq_full)])
-    shortfall = _np.array([max(0.0, float(b.logls[0]) - float(a.logls[0]))
-                           for a, b in zip(pq_heur, pq_full)])
-    # tie-aware agreement: picking a different edge whose optimized logl
-    # matches the exhaustive best within 0.01 (a tenth of the BLO
-    # convergence epsilon) is a tie, not an error — the reference's own
-    # tie-breaking is equally arbitrary there
-    agree_tie = _np.mean([
-        int(a.edge_nums[0] == b.edge_nums[0]
-            or float(b.logls[0]) - float(a.logls[0]) <= 0.01)
-        for a, b in zip(pq_heur, pq_full)])
-    recov = _np.mean([int(pq.edge_nums[0]) == t
-                      for pq, t in zip(pq_heur, true_edges)])
-    # dynamic-heuristic live fraction within the default top-16 fused
-    # budget: the pair-budget halving assumes this stays well under 50%
-    ec = eng2.encode_msa(eqry)
-    scores = eng2.preplace(ec.codes, ec.ranges)
-    k = min(16, eng2.num_edges)
-    top = _np.sort(scores, axis=1)[:, ::-1][:, :k]
-    ex = _np.exp(scores - top[:, :1])
-    lwr_pre = _np.exp(top - top[:, :1]) / ex.sum(axis=1, keepdims=True)
-    prefix = lwr_pre.cumsum(axis=1) - lwr_pre
-    live_frac = float((prefix < 0.99999).mean())
-    out["accuracy_evolved"] = {
-        "taxa": 256, "sites": 256, "queries": 512,
-        "true_edge_recovery": round(float(recov), 4),
-        "heur_top_edge_agreement": round(float(agree), 4),
-        "heur_top_edge_agreement_tieaware": round(float(agree_tie), 4),
-        "heur_logl_shortfall_mean": round(float(shortfall.mean()), 4),
-        "heur_logl_shortfall_max": round(float(shortfall.max()), 4),
-        "dyn_live_frac_top16": round(live_frac, 4)}
-
-    # --mesh 1x1 on the real chip: the shard_map'd placement step (the
-    # same program the multi-chip path runs, incl. the blocked-Pallas
-    # Newton kernel per device) must not lose to the plain engine —
-    # VERDICT r03's top item was that --mesh abandoned the flagship
-    # kernel; now it keeps it. Measured against a plain engine on the
-    # identical workload/pipeline.
-    if out_of_time("mesh1x1"):
-        return out
-    tree, ref, qry = synth_dataset(n_taxa=N_TAXA, sites=SITES,
-                                   n_queries=4096, seed=7)
-    qps_plain, _, _ = _measure_engine(
-        tree, ref, qry, {"model": MODEL,
-                         "options": Options(compute_dtype="f32")}, 1024,
-        reps=2)
-    qps_mesh, dt, _ = _measure_engine(
-        tree, ref, qry, {"model": MODEL,
-                         "options": Options(compute_dtype="f32")}, 1024,
-        mesh_spec=(1, 1), reps=2)
-    out["mesh1x1"] = {
-        "qps": round(qps_mesh, 2), "plain_qps": round(qps_plain, 2),
-        "ratio_vs_plain": round(qps_mesh / qps_plain, 3),
-        "taxa": N_TAXA, "queries": 4096, "wall_s": round(dt, 3)}
-
-    # matrix-mixture (the LG4M/LG4X mechanism; synthetic components from
-    # the baked-in LG matrix since the published tables need the npz
-    # registry): per-rate eigen systems through the SAME Pallas kernel
-    if out_of_time("mixture"):
-        return out
-    from epa_ng_tpu.models import aa_matrices
-    rngc = _np.random.RandomState(11)
-    lg_r, lg_f = aa_matrices.MATRICES["LG"]
-    comps = []
-    for i in range(4):
-        r = lg_r * _np.exp(0.35 * rngc.randn(190))
-        f = lg_f * _np.exp(0.35 * rngc.randn(20))
-        comps.append((r, f / f.sum()))
-    aa_matrices.MIXTURES["BENCHMIX4M"] = (comps, "gamma")
-    try:
-        tree, ref, qry = synth_dataset(n_taxa=128, sites=256,
-                                       n_queries=1024, seed=13, alphabet=AA)
+    def cfg_aa():
+        # AA: 20 states, 4 rate cats -> RK=80 sublane rows per pair
+        tree, ref, qry = synth_dataset(n_taxa=256, sites=256,
+                                       n_queries=2048, seed=13, alphabet=AA)
         qps, dt, _ = _measure_engine(
-            tree, ref, qry, {"model": "BENCHMIX4M+G4{0.9}",
+            tree, ref, qry, {"model": "LG+G4{0.8}",
                              "options": Options(compute_dtype="f32")}, 512,
             reps=2)
-    finally:
-        aa_matrices.MIXTURES.pop("BENCHMIX4M", None)
-    out["mixture"] = {"qps": round(qps, 2), "taxa": 128, "sites": 256,
-                      "queries": 1024, "wall_s": round(dt, 3)}
+        out["aa"] = {"qps": round(qps, 2), "taxa": 256, "sites": 256,
+                     "queries": 2048, "wall_s": round(dt, 3)}
 
-    # big tree: 2048 taxa = 4093 edges
-    if out_of_time("bigtree"):
-        return out
-    tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
-                                   seed=19)
-    qps, dt, _ = _measure_engine(
-        tree, ref, qry, {"model": MODEL,
-                         "options": Options(compute_dtype="f32")}, 512,
-        reps=2)
-    out["bigtree"] = {"qps": round(qps, 2), "taxa": 2048, "edges": 4093,
-                      "queries": 2048, "wall_s": round(dt, 3)}
-    # same tree scale with model-EVOLVED queries (peaked posteriors like
-    # real reads): random-character queries saturate the candidate budget
-    # far more often on big trees (every edge explains noise equally
-    # badly), so the uniform-random number above is the worst case and
-    # this one is the realistic-workload case
-    etree, eref, eqry, _ = evolved_dataset(n_taxa=2048, sites=256,
-                                           n_queries=2048, seed=19,
-                                           model_str=MODEL)
-    qps, dt, _ = _measure_engine(
-        etree, eref, eqry, {"model": MODEL,
-                            "options": Options(compute_dtype="f32")}, 512,
-        reps=2)
-    out["bigtree"]["qps_evolved"] = round(qps, 2)
-    out["bigtree"]["wall_s_evolved"] = round(dt, 3)
+    def cfg_noheur():
+        # --no-heur: thorough Newton on EVERY (query, edge) pair
+        tree, ref, qry = synth_dataset(n_taxa=256, sites=256,
+                                       n_queries=1024, seed=17)
+        qps, dt, eng = _measure_engine(
+            tree, ref, qry, {"model": MODEL,
+                             "options": Options(compute_dtype="f32",
+                                                prescoring=False)}, 512,
+            reps=2)
+        pairs = 1024 * eng.num_edges
+        W = 256  # bucketed window ~= read width
+        bytes_per_pair = 2 * 16 * W * 4  # tU+tV rows touched per smoothing
+        out["noheur"] = {
+            "qps": round(qps, 2), "taxa": 256, "queries": 1024,
+            "wall_s": round(dt, 3),
+            "pair_optimizations_per_s": round(pairs / dt),
+            "approx_hbm_gb_per_s": round(
+                pairs / dt * bytes_per_pair * 2 / 1e9, 1)}
 
-    # paper-scale tree: the 310 q/s/node baseline derives from the EPA-ng
-    # paper's 3748-taxon workload (doi:10.1093/sysbio/syy054), while the
-    # headline runs a 512-taxon tree — this config reruns the SAME fused
-    # steady-state measurement on a 4096-taxon tree (8187 edges) so the
-    # vs-baseline comparison also exists at matched tree size
-    if out_of_time("paperscale"):
-        return out
-    ps = run_fused_step(n_taxa=4096, sites=SITES, n_queries=4096,
-                        chunk=1024, seed=29)
-    out["paperscale"] = {
-        "qps": round(ps["qps"], 2), "taxa": 4096, "edges": ps["edges"],
-        "queries": 4096, "wall_s": round(ps["wall_s"], 3),
-        "vs_baseline_same_tree_scale": round(
-            ps["qps"] / REFERENCE_NODE_QPS, 2)}
+    def cfg_accuracy_evolved():
+        # heuristic accuracy vs the exhaustive sweep on MODEL-EVOLVED
+        # queries (the reference's claim: preplacement "sacrifices only
+        # insignificant amounts of accuracy", README.md:179). Evolved
+        # queries (simulated along the tree from a known source edge,
+        # utils.synth.evolved_dataset) have peaked posteriors like real
+        # reads, so top-edge agreement is a meaningful number —
+        # random-character queries are tie-dominated and understate it
+        # (r03's 0.373). The same data re-validates the dynamic
+        # pair-budget halving's live-fraction assumption (docs/PERF.md).
+        from epa_ng_tpu.core.engine import PlacementEngine as _PE
+        from epa_ng_tpu.models import Model as _Model
 
-    # --memsave out-of-core mode: the q/s cost of host-resident state
-    # (evidence for the "dominates the reference's disk paging" claim in
-    # core.memsave; same workload as the bigtree config above). Three
-    # budget tiers: pure streaming (budget 0 — nothing device-resident),
-    # a budget HALF the store (the realistic out-of-core case: the device
-    # cache covers part of the tree, the rest streams), and the full
-    # store cached (the reference's "pool big enough" case). `qps` is the
-    # half-budget tier — the honest out-of-core headline. One engine
-    # serves all tiers (_init_cache re-sizes the device cache in-place;
-    # rebuilding the 2048-taxon reference state on the CPU backend per
-    # tier would triple this sub-config's wall time).
-    if out_of_time("memsave"):
-        return out
-    tree, ref, qry = synth_dataset(n_taxa=2048, sites=256, n_queries=2048,
-                                   seed=19)
-    tiers = {}
-    eng = None
-    for name, gb in (("stream", 0.0), ("half", None), ("cached", 1e3)):
-        if eng is None:
-            qps, dt, eng = _measure_engine(
-                tree, ref, qry,
-                {"model": MODEL,
-                 "options": Options(compute_dtype="f32", memsave=True,
-                                    memsave_budget_gb=gb)}, 512,
-                engine_kind="memsave")
-        else:
-            if gb is None:
-                gb = eng.host_resident_bytes() / 2 / 1e9
-            eng.options.memsave_budget_gb = gb
-            eng._pre_cache.clear()
-            eng._init_cache()
-            qps, dt, eng = _measure_engine(tree, ref, qry, {}, 512,
-                                           engine_kind="memsave",
-                                           engine=eng)
-        tiers[name] = {"qps": round(qps, 2), "wall_s": round(dt, 3),
-                       "cached_edges": eng._blo_cache_edges,
-                       "cached_mb": round(eng.device_cached_bytes() / 1e6,
-                                          1)}
-    out["memsave"] = {
-        "qps": tiers["half"]["qps"], "taxa": 2048, "edges": 4093,
-        "queries": 2048, "tiers": tiers,
-        "host_resident_gb": round(eng.host_resident_bytes() / 1e9, 3)}
+        etree, eref, eqry, true_edges = evolved_dataset(
+            n_taxa=256, sites=256, n_queries=512, seed=29, model_str=MODEL)
+        eng2 = _PE(etree, eref, _Model.from_string(MODEL),
+                   Options(compute_dtype="f32", prescoring=False))
+        pq_full = eng2.place_chunk(eqry)
+        eng2.options.prescoring = True
+        pq_heur = eng2.place_chunk(eqry)
+        agree = _np.mean([int(a.edge_nums[0] == b.edge_nums[0])
+                          for a, b in zip(pq_heur, pq_full)])
+        shortfall = _np.array([
+            max(0.0, float(b.logls[0]) - float(a.logls[0]))
+            for a, b in zip(pq_heur, pq_full)])
+        # tie-aware agreement: picking a different edge whose optimized
+        # logl matches the exhaustive best within 0.01 (a tenth of the
+        # BLO convergence epsilon) is a tie, not an error — the
+        # reference's own tie-breaking is equally arbitrary there
+        agree_tie = _np.mean([
+            int(a.edge_nums[0] == b.edge_nums[0]
+                or float(b.logls[0]) - float(a.logls[0]) <= 0.01)
+            for a, b in zip(pq_heur, pq_full)])
+        recov = _np.mean([int(pq.edge_nums[0]) == t
+                          for pq, t in zip(pq_heur, true_edges)])
+        # dynamic-heuristic live fraction within the default top-16 fused
+        # budget: the pair-budget halving assumes this stays under 50%
+        ec = eng2.encode_msa(eqry)
+        scores = eng2.preplace(ec.codes, ec.ranges)
+        k = min(16, eng2.num_edges)
+        top = _np.sort(scores, axis=1)[:, ::-1][:, :k]
+        ex = _np.exp(scores - top[:, :1])
+        lwr_pre = _np.exp(top - top[:, :1]) / ex.sum(axis=1, keepdims=True)
+        prefix = lwr_pre.cumsum(axis=1) - lwr_pre
+        live_frac = float((prefix < 0.99999).mean())
+        out["accuracy_evolved"] = {
+            "taxa": 256, "sites": 256, "queries": 512,
+            "true_edge_recovery": round(float(recov), 4),
+            "heur_top_edge_agreement": round(float(agree), 4),
+            "heur_top_edge_agreement_tieaware": round(float(agree_tie), 4),
+            "heur_logl_shortfall_mean": round(float(shortfall.mean()), 4),
+            "heur_logl_shortfall_max": round(float(shortfall.max()), 4),
+            "dyn_live_frac_top16": round(live_frac, 4)}
 
-    # site-pattern compression (SITE_REPEATS analog): init-time speedup on
-    # a pattern-heavy alignment (256 unique columns tiled to 2048 sites —
-    # real alignments are pattern-heavy; the fully-random configs above
-    # have no duplicate columns, so compression is inert there)
-    import time as _time
+    def cfg_mesh1x1():
+        # --mesh 1x1 on the real chip: the shard_map'd placement step
+        # (the same program the multi-chip path runs, incl. the
+        # blocked-Pallas Newton kernel per device) must not lose to the
+        # plain engine — VERDICT r03's top item was that --mesh abandoned
+        # the flagship kernel; now it keeps it. Measured against a plain
+        # engine on the identical workload/pipeline.
+        tree, ref, qry = synth_dataset(n_taxa=N_TAXA, sites=SITES,
+                                       n_queries=4096, seed=7)
+        qps_plain, _, _ = _measure_engine(
+            tree, ref, qry, {"model": MODEL,
+                             "options": Options(compute_dtype="f32")},
+            1024, reps=2)
+        qps_mesh, dt, _ = _measure_engine(
+            tree, ref, qry, {"model": MODEL,
+                             "options": Options(compute_dtype="f32")},
+            1024, mesh_spec=(1, 1), reps=2)
+        out["mesh1x1"] = {
+            "qps": round(qps_mesh, 2), "plain_qps": round(qps_plain, 2),
+            "ratio_vs_plain": round(qps_mesh / qps_plain, 3),
+            "taxa": N_TAXA, "queries": 4096, "wall_s": round(dt, 3)}
 
-    from epa_ng_tpu.core.engine import PlacementEngine
-    from epa_ng_tpu.models import Model
+    def cfg_mixture():
+        # matrix-mixture (the LG4M/LG4X mechanism; synthetic components
+        # from the baked-in LG matrix since the published tables need the
+        # npz registry): per-rate eigen systems through the SAME Pallas
+        # kernel
+        from epa_ng_tpu.models import aa_matrices
+        rngc = _np.random.RandomState(11)
+        lg_r, lg_f = aa_matrices.MATRICES["LG"]
+        comps = []
+        for i in range(4):
+            r = lg_r * _np.exp(0.35 * rngc.randn(190))
+            f = lg_f * _np.exp(0.35 * rngc.randn(20))
+            comps.append((r, f / f.sum()))
+        aa_matrices.MIXTURES["BENCHMIX4M"] = (comps, "gamma")
+        try:
+            tree, ref, qry = synth_dataset(n_taxa=128, sites=256,
+                                           n_queries=1024, seed=13,
+                                           alphabet=AA)
+            qps, dt, _ = _measure_engine(
+                tree, ref, qry, {"model": "BENCHMIX4M+G4{0.9}",
+                                 "options": Options(compute_dtype="f32")},
+                512, reps=2)
+        finally:
+            aa_matrices.MIXTURES.pop("BENCHMIX4M", None)
+        out["mixture"] = {"qps": round(qps, 2), "taxa": 128, "sites": 256,
+                          "queries": 1024, "wall_s": round(dt, 3)}
 
-    if out_of_time("patterns"):
-        return out
-    tree, ref, _ = synth_dataset(n_taxa=512, sites=2048, n_queries=1,
-                                 seed=23, n_patterns=256)
+    def cfg_bigtree():
+        # big tree: 2048 taxa = 4093 edges; uniform-random queries are
+        # the worst case (noise saturates the candidate budget — every
+        # edge explains noise equally badly — dragging chunks through the
+        # wide redo), model-evolved queries are the realistic-workload
+        # case
+        tree, ref, qry = synth_dataset(n_taxa=2048, sites=256,
+                                       n_queries=2048, seed=19)
+        qps, dt, _ = _measure_engine(
+            tree, ref, qry, {"model": MODEL,
+                             "options": Options(compute_dtype="f32")}, 512,
+            reps=2)
+        out["bigtree"] = {"qps": round(qps, 2), "taxa": 2048,
+                          "edges": 4093, "queries": 2048,
+                          "wall_s": round(dt, 3)}
+        etree, eref, eqry, _ = evolved_dataset(n_taxa=2048, sites=256,
+                                               n_queries=2048, seed=19,
+                                               model_str=MODEL)
+        qps, dt, _ = _measure_engine(
+            etree, eref, eqry, {"model": MODEL,
+                                "options": Options(compute_dtype="f32")},
+            512, reps=2)
+        out["bigtree"]["qps_evolved"] = round(qps, 2)
+        out["bigtree"]["wall_s_evolved"] = round(dt, 3)
 
-    def init_s(compress: bool) -> float:
-        def once():
-            t0 = _time.perf_counter()
-            eng = PlacementEngine(
-                tree, ref, Model.from_string(MODEL),
-                Options(compute_dtype="f32", pattern_compression=compress))
-            import jax as _jax
-            _jax.block_until_ready((eng.lookup_table, eng.blo.tU))
-            return _time.perf_counter() - t0
-        # first call pays trace+compile (or cache load); report the warm
-        # init — the steady cost a long-running service / repeat runs see
-        once()
-        return once()
+    def cfg_paperscale():
+        # paper-scale tree: the 310 q/s/node baseline derives from the
+        # EPA-ng paper's 3748-taxon workload (doi:10.1093/sysbio/syy054),
+        # while the headline runs a 512-taxon tree — this reruns the SAME
+        # fused steady-state measurement on a 4096-taxon tree (8189
+        # edges) so the vs-baseline comparison also exists at matched
+        # tree size
+        ps = run_fused_step(n_taxa=4096, sites=SITES, n_queries=4096,
+                            chunk=1024, seed=29)
+        out["paperscale"] = {
+            "qps": round(ps["qps"], 2), "taxa": 4096, "edges": ps["edges"],
+            "queries": 4096, "wall_s": round(ps["wall_s"], 3),
+            "vs_baseline_same_tree_scale": round(
+                ps["qps"] / REFERENCE_NODE_QPS, 2)}
 
-    full_s = init_s(False)
-    comp_s = init_s(True)
-    out["patterns"] = {
-        "taxa": 512, "sites": 2048, "unique_patterns": 256,
-        "init_s_full": round(full_s, 3),
-        "init_s_compressed": round(comp_s, 3),
-        "init_speedup": round(full_s / comp_s, 2)}
+    def cfg_memsave():
+        # --memsave out-of-core mode (evidence for the "dominates the
+        # reference's disk paging" claim in core.memsave; same workload
+        # as the bigtree config). Three budget tiers: pure streaming
+        # (budget 0 — nothing device-resident), a budget HALF the store
+        # (the realistic out-of-core case: the device cache covers part
+        # of the tree, the rest streams), and the full store cached (the
+        # reference's "pool big enough" case). `qps` is the half-budget
+        # tier — the honest out-of-core headline. One engine serves all
+        # tiers (_init_cache re-sizes the device cache in place;
+        # rebuilding the 2048-taxon reference state on the CPU backend
+        # per tier would triple this sub-config's wall time).
+        tree, ref, qry = synth_dataset(n_taxa=2048, sites=256,
+                                       n_queries=2048, seed=19)
+        tiers = {}
+        eng = None
+        for name, gb in (("stream", 0.0), ("half", None), ("cached", 1e3)):
+            if eng is None:
+                qps, dt, eng = _measure_engine(
+                    tree, ref, qry,
+                    {"model": MODEL,
+                     "options": Options(compute_dtype="f32", memsave=True,
+                                        memsave_budget_gb=gb)}, 512,
+                    engine_kind="memsave")
+            else:
+                if gb is None:
+                    gb = eng.host_resident_bytes() / 2 / 1e9
+                eng.options.memsave_budget_gb = gb
+                eng._init_cache()
+                qps, dt, eng = _measure_engine(tree, ref, qry, {}, 512,
+                                               engine_kind="memsave",
+                                               engine=eng)
+            tiers[name] = {
+                "qps": round(qps, 2), "wall_s": round(dt, 3),
+                "cached_edges": eng._blo_cache_edges,
+                "cached_mb": round(eng.device_cached_bytes() / 1e6, 1)}
+        out["memsave"] = {
+            "qps": tiers["half"]["qps"], "taxa": 2048, "edges": 4093,
+            "queries": 2048, "tiers": tiers,
+            "host_resident_gb": round(eng.host_resident_bytes() / 1e9, 3)}
+
+    def cfg_patterns():
+        # site-pattern compression (SITE_REPEATS analog): init-time
+        # speedup on a pattern-heavy alignment (256 unique columns tiled
+        # to 2048 sites — real alignments are pattern-heavy; the
+        # fully-random configs above have no duplicate columns, so
+        # compression is inert there)
+        import time as _time
+
+        from epa_ng_tpu.core.engine import PlacementEngine
+        from epa_ng_tpu.models import Model
+
+        tree, ref, _ = synth_dataset(n_taxa=512, sites=2048, n_queries=1,
+                                     seed=23, n_patterns=256)
+
+        def init_s(compress: bool) -> float:
+            def once():
+                t0 = _time.perf_counter()
+                eng = PlacementEngine(
+                    tree, ref, Model.from_string(MODEL),
+                    Options(compute_dtype="f32",
+                            pattern_compression=compress))
+                import jax as _jax
+                _jax.block_until_ready((eng.lookup_table, eng.blo.tU))
+                return _time.perf_counter() - t0
+            # first call pays trace+compile (or cache load); report the
+            # warm init — the steady cost repeat runs / services see
+            once()
+            return once()
+
+        full_s = init_s(False)
+        comp_s = init_s(True)
+        out["patterns"] = {
+            "taxa": 512, "sites": 2048, "unique_patterns": 256,
+            "init_s_full": round(full_s, 3),
+            "init_s_compressed": round(comp_s, 3),
+            "init_speedup": round(full_s / comp_s, 2)}
+
+    # priority order: a deadline hit skips the config (recorded) and
+    # CONTINUES to later ones — cheap late configs still produce evidence
+    configs = [
+        ("aa", cfg_aa),
+        ("noheur", cfg_noheur),
+        ("accuracy_evolved", cfg_accuracy_evolved),
+        ("paperscale", cfg_paperscale),
+        ("mesh1x1", cfg_mesh1x1),
+        ("mixture", cfg_mixture),
+        ("bigtree", cfg_bigtree),
+        ("memsave", cfg_memsave),
+        ("patterns", cfg_patterns),
+    ]
+    for name, fn in configs:
+        if deadline is not None and time.perf_counter() > deadline:
+            out.setdefault("skipped_over_budget", []).append(name)
+            continue
+        fn()
     return out
-
 
 def run_roofline():
     """Roofline accounting for the blocked-Pallas Newton kernel: achieved
@@ -797,8 +808,13 @@ def main():
     # terminal-side compiles per distinct program; rather than let an
     # external timeout kill the whole run with no output, later sections
     # are skipped once the budget is spent (the headline fused-step section
-    # always runs). A warmed cache finishes everything far under budget.
-    budget_s = float(os.environ.get("EPA_NG_TPU_BENCH_BUDGET", "420"))
+    # always runs; inside the extra section each sub-config skips itself
+    # individually). 1100s default: a full cold-ish run measures ~1000s
+    # on a 2-core tunneled host, and round 2's official 892s run was not
+    # killed, so the driver tolerates runs of this order; worst case is
+    # budget + one in-flight sub-config. A warmed compile cache finishes
+    # everything far under budget.
+    budget_s = float(os.environ.get("EPA_NG_TPU_BENCH_BUDGET", "1100"))
     t_start = time.perf_counter()
 
     def over_budget():
