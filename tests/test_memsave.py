@@ -122,6 +122,14 @@ def test_memsave_cli(tmp_path):
     doc = json.load(open(out + "epa_result.jplace"))
     tops = sorted((p["n"][0], p["p"][0][0]) for p in doc["placements"])
     assert tops == [("Carp", 3), ("Rat", 4)]
+    # --memsave-budget 0 = pure streaming: identical output end to end
+    rc = main(["-t", f"{D}/ref.tre", "-s", f"{D}/aln.fasta",
+               "-q", f"{D}/query.fasta", "-m", "GTR+G", "--memsave",
+               "--memsave-budget", "0", "-w", out, "--redo",
+               "--blo-block", "64"])
+    assert rc == 0
+    doc0 = json.load(open(out + "epa_result.jplace"))
+    assert doc0["placements"] == doc["placements"]
 
 
 def test_memsave_binary_roundtrip(tmp_path, data):
