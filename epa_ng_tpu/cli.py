@@ -39,6 +39,13 @@ BANNER = r"""
 """
 
 
+def _nonneg_float(s: str) -> float:
+    v = float(s)
+    if v < 0:
+        raise argparse.ArgumentTypeError(f"must be >= 0, got {s}")
+    return v
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="epa-ng-tpu",
@@ -141,7 +148,7 @@ def build_parser() -> argparse.ArgumentParser:
                            "host RAM and streams to the device per chunk "
                            "(the analog of the reference's -b CLV "
                            "paging).")
-    comp.add_argument("--memsave-budget", type=float, default=None,
+    comp.add_argument("--memsave-budget", type=_nonneg_float, default=None,
                       metavar="GB",
                       help="--memsave device-cache budget in GB: a prefix "
                            "of the reference-state tensors stays "

@@ -26,12 +26,14 @@ analog has the same two tiers:
     of ``shift_partition_focus``) and ship compact [pairs, RK, W]
     batches to the Newton kernel.
 
-With a budget that covers the whole store this converges to
-device-resident speed; with budget 0 it is pure streaming, bounded only
+With a budget that covers the whole store the engine flips to the
+parent's FUSED device-resident path (one jitted placement step per
+chunk, Pallas kernel included) — device-resident speed, not an
+approximation of it; with budget 0 it is pure streaming, bounded only
 by host RAM — strictly dominating the reference's disk-paged mode at
-both ends. Enabled with --memsave; multi-chip ``ep`` edge sharding
-(parallel.mesh) remains the fast path for big trees when more chips are
-available.
+both ends. Budget unit: decimal GB (1 GB = 1e9 bytes). Enabled with
+--memsave; multi-chip ``ep`` edge sharding (parallel.mesh) remains the
+fast path for big trees when more chips are available.
 """
 
 from __future__ import annotations
@@ -52,6 +54,21 @@ PRE_PIPELINE_DEPTH = 2   # streamed preplacement blocks in flight
 SLAB_PIPELINE_DEPTH = 4  # thorough window slabs in flight
 AUTO_BUDGET_FRACTION = 0.35  # of device memory, when discoverable
 AUTO_BUDGET_FALLBACK = 4 << 30
+
+
+def _check_pallas_option(options):
+    """Fail a doomed --memsave + pallas=on combination BEFORE the
+    expensive CPU-backend reference-state build: with an explicit budget
+    of 0 (pure streaming) the fused device path can never run. Budgets
+    that might cover the whole store are re-checked after the build
+    (_init_cache), where the store size is known."""
+    if (options is not None and options.pallas == "on"
+            and getattr(options, "memsave_budget_gb", None) is not None
+            and options.memsave_budget_gb <= 0):
+        raise ValueError(
+            "pallas=on is incompatible with --memsave-budget 0 (pure "
+            "streaming); the Pallas kernel needs the fused "
+            "device-resident path")
 
 
 def _device_memory_bytes():
@@ -77,6 +94,7 @@ class OutOfCoreEngine(PlacementEngine):
     fronted by a budget-bounded device cache."""
 
     def __init__(self, tree, ref_msa, model, options=None):
+        _check_pallas_option(options)
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             super().__init__(tree, ref_msa, model, options)
@@ -85,6 +103,7 @@ class OutOfCoreEngine(PlacementEngine):
     @classmethod
     def from_precomputed(cls, tree, model, options, edges, num_sites,
                          ref_intersection=None):
+        _check_pallas_option(options)
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             self = super().from_precomputed(
@@ -119,14 +138,29 @@ class OutOfCoreEngine(PlacementEngine):
         """Size the device cache (the reference's -b memory-pool analog):
         the budget is split between the preplacement table and the BLO
         store proportionally to their total sizes, each caching a prefix
-        of whole blocks / edges."""
+        of whole blocks / edges.
+
+        Budget unit: DECIMAL gigabytes (GB = 1e9 bytes), matching the
+        CLI help text; the auto fallback is the only power-of-two
+        constant and it is converted once here. When the budget covers
+        BOTH stores entirely, the engine flips to the fused
+        device-resident path (the parent class's fast path, incl. the
+        Pallas kernel): the reference's -b paging costs nothing once the
+        pool is warm (src/tree/Tree.cpp:80-117), and so does --memsave
+        with a covering cache."""
+        # drop any previous tier's device arrays BEFORE allocating the
+        # new ones, so re-sizing never holds ~2x the budget in HBM
+        self._blo_cache = None
+        self._pre_cache: dict[int, tuple] = {}
+        self._lookup_table = None
+        self._blo = None
         gb = getattr(self.options, "memsave_budget_gb", None)
         if gb is None:
             dev = _device_memory_bytes()
             budget = (int(dev * AUTO_BUDGET_FRACTION) if dev
                       else AUTO_BUDGET_FALLBACK)
         else:
-            budget = int(gb * 1e9)
+            budget = max(0, int(gb * 1e9))  # negative degrades to 0
         self._budget_bytes = budget
         E = self.num_edges
         eb = min(EDGE_BLOCK, E)
@@ -134,16 +168,42 @@ class OutOfCoreEngine(PlacementEngine):
         n_blocks = -(-E // eb)
         pre_total = self._resid_np.nbytes + self._mean_np.nbytes
         blo_total = (self._tU_np.nbytes + self._tV_np.nbytes
-                     + self._ls_np.nbytes)
+                     + self._ls_np.nbytes + self._lengths_np.nbytes)
         total = pre_total + blo_total
+        self._full_cover = budget >= total
+        if self._full_cover:
+            # covering budget: everything device-resident, fused path on
+            self._pre_cache_nblocks = n_blocks
+            self._blo_cache_edges = E
+            self._lookup_table = (jnp.asarray(self._resid_np),
+                                  jnp.asarray(self._mean_np))
+            self._blo = SimpleNamespace(
+                tU=jnp.asarray(self._tU_np), tV=jnp.asarray(self._tV_np),
+                ls=jnp.asarray(self._ls_np),
+                lengths=jnp.asarray(self._lengths_np))
+            self._blo_cache = self._blo
+            return
+        if self.options.pallas == "on":
+            raise ValueError(
+                "pallas=on needs the fused device-resident path; under "
+                "--memsave that requires a budget covering the whole "
+                f"reference state ({total / 1e9:.2f} GB)")
         pre_budget = budget * pre_total // max(1, total)
         blo_budget = budget - pre_budget
-        pre_block_bytes = -(-pre_total // n_blocks)
+        # size by the PADDED per-block upload (the last block is padded
+        # to the common block shape), so residency never exceeds budget
+        pre_block_bytes = (self._resid_np[:1].nbytes
+                           + self._mean_np[:1].nbytes) * eb
         self._pre_cache_nblocks = min(
             n_blocks, int(pre_budget // max(1, pre_block_bytes)))
-        self._pre_cache: dict[int, tuple] = {}  # filled on first touch
-        blo_per_edge = -(-blo_total // E)
-        C = min(E, int(blo_budget // max(1, blo_per_edge)))
+        # the blo cache always uploads the FULL lengths array (tiny, [E]);
+        # charge it before dividing the rest per edge so the cache's true
+        # residency (device_cached_bytes) stays under the budget
+        len_bytes = self._lengths_np.nbytes
+        per_edge = -(-(self._tU_np.nbytes + self._tV_np.nbytes
+                       + self._ls_np.nbytes) // E)
+        C = min(E, max(0, int((blo_budget - len_bytes)
+                              // max(1, per_edge))))
         self._blo_cache_edges = C
         if C > 0:
             self._blo_cache = SimpleNamespace(
@@ -151,35 +211,47 @@ class OutOfCoreEngine(PlacementEngine):
                 tV=jnp.asarray(self._tV_np[:C]),
                 ls=jnp.asarray(self._ls_np[:C]),
                 lengths=jnp.asarray(self._lengths_np))
-        else:
-            self._blo_cache = None
 
     def device_cached_bytes(self) -> int:
         n = 0
         if self._blo_cache is not None:
             n += (self._blo_cache.tU.nbytes + self._blo_cache.tV.nbytes
-                  + self._blo_cache.ls.nbytes)
+                  + self._blo_cache.ls.nbytes
+                  + self._blo_cache.lengths.nbytes)
+        if self._full_cover and self._lookup_table is not None:
+            r, m = self._lookup_table
+            n += r.nbytes + m.nbytes
         for r, m in self._pre_cache.values():
             n += r.nbytes + m.nbytes
         return n
 
-    # the fused fast path needs device-resident tensors: always exact
+    # the fused fast path needs device-resident tensors: with a covering
+    # cache it runs unchanged (parent dispatch, Pallas included);
+    # otherwise the chunk takes the streamed exact path
     def place_encoded_async(self, ec, seq_id_offset: int = 0):
+        if self._full_cover:
+            return PlacementEngine.place_encoded_async(self, ec,
+                                                       seq_id_offset)
         return ("exact", (ec, seq_id_offset))
 
     def _use_pallas(self, width: int) -> bool:
-        if self.options.pallas == "on":
-            raise ValueError("pallas=on is incompatible with --memsave")
+        if self._full_cover:
+            return PlacementEngine._use_pallas(self, width)
+        # options_from_args / _init_cache reject pallas=="on" up front
         return False
 
     def _query_tensors_codes(self, codes: np.ndarray):
         tQ, invq = super()._query_tensors_codes(codes)
+        if self._full_cover:
+            return tQ, invq  # device path; no host gathers happen
         # host copies: the thorough stage gathers query windows host-side
         return np.asarray(tQ), np.asarray(invq)
 
     # -- streamed preplacement ------------------------------------------
 
     def preplace(self, codes, ranges) -> np.ndarray:
+        if self._full_cover:  # device-resident table: the parent's path
+            return PlacementEngine.preplace(self, codes, ranges)
         E = self.num_edges
         S = self.num_sites
         Q = len(codes)
