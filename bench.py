@@ -497,6 +497,30 @@ def run_extra_configs(deadline: float | None = None):
             "queries": 2048, "tiers": tiers,
             "host_resident_gb": round(eng.host_resident_bytes() / 1e9, 3)}
 
+    def cfg_optmodel():
+        # --opt-model cost at a 256-taxon shape (VERDICT r04 weak #5: it
+        # was excluded from every perf artifact). Measures the full
+        # all-params path the CLI runs (L-BFGS rounds with the new
+        # plateau early-stop + alpha golden-section), f32 like the CLI
+        # on TPU.
+        import time as _time
+
+        import jax.numpy as _jnp
+
+        from epa_ng_tpu.core.evaluate import optimize_model
+        from epa_ng_tpu.models import Model as _Model
+
+        tree, ref, _ = synth_dataset(n_taxa=256, sites=256, n_queries=1,
+                                     seed=37)
+        model = _Model.from_string("GTR+G")
+        t0 = _time.perf_counter()
+        final = optimize_model(tree, ref, model, dtype=_jnp.float32)
+        dt = _time.perf_counter() - t0
+        out["opt_model"] = {"taxa": 256, "sites": 256,
+                            "wall_s": round(dt, 2),
+                            "final_logl": round(float(final), 2),
+                            "alpha": round(float(model.alpha), 4)}
+
     def cfg_patterns():
         # site-pattern compression (SITE_REPEATS analog): init-time
         # speedup on a pattern-heavy alignment (256 unique columns tiled
@@ -545,6 +569,7 @@ def run_extra_configs(deadline: float | None = None):
         ("mixture", cfg_mixture),
         ("bigtree", cfg_bigtree),
         ("memsave", cfg_memsave),
+        ("optmodel", cfg_optmodel),
         ("patterns", cfg_patterns),
     ]
     for name, fn in configs:
@@ -559,20 +584,22 @@ def run_roofline():
     vector-op/s and HBM bytes/s against the chip's peaks, so "distance
     from roofline" is a number (VERDICT r03 missing #2). TPU only.
 
-    Method: a 4096-pair pre-gathered batch is timed at max_smoothings=2
-    (on this workload no block converges within 1 smoothing, so every
-    block executes exactly 2 — the op count is then known, not guessed).
+    Method: a 4096-pair pre-gathered batch is timed at max_smoothings=2,
+    and the SAME batch is re-run through the kernel's count_iters
+    instrumentation (ops/pallas_blo._blo_kernel_counted), which records
+    each 128-pair block's EXECUTED inner-Newton trip count and smoothing
+    count on hardware — the lock-step loops' true per-block trip counts.
     Vector-op model of ops/pallas_blo._blo_compute, counting each [W, PB]
     elementwise tile op as W*PB lane-ops:
 
-      per smoothing: 2x back_transform (124 each) + 2x contract_T (~136
-      avg) + T2 epilogue (16) + score (35) + 2 Newton solves x ~6 iters
-      x 90  ->  ~1900 tile-ops x W per pair
+      per smoothing (fixed part): 2x back_transform (124 each) +
+      2x contract_T (~136 avg) + T2 epilogue (16) + score (35)
+      -> ~820 tile-ops x W per pair
+      per inner-Newton iteration: ~90 tile-ops x W per pair (MEASURED
+      trip counts; r04's estimated 6/solve is retired)
       prologue (T_init + first score): ~427 x W per pair
 
-    The Newton iteration count (~6 per solve, lock-step max over each
-    128-lane block) is the one estimated constant; everything else is
-    structural. Peaks (TPU v5e): VPU = 8x128 lanes x 4 ALUs x 0.94 GHz
+    Peaks (TPU v5e): VPU = 8x128 lanes x 4 ALUs x 0.94 GHz
     = 3.85e12 lane-ops/s; HBM = 819 GB/s (~0.7-0.8 sustainable).
     """
     import numpy as np
@@ -648,9 +675,52 @@ def run_roofline():
         jnp.asarray(e_ids), jnp.asarray(q_ids), jnp.asarray(begins),
         jnp.asarray(spans), offs_j, Wb, 2))
 
-    OPS_PER_SMOOTH = 1900     # tile-ops x W per pair (docstring model)
+    # --- MEASURED per-block trip counts via the instrumented kernel on
+    # the same pair batch (per-pair window slices of the same windows the
+    # blocked kernel DMAs; identical arithmetic -> identical trip counts)
+    from epa_ng_tpu.ops.pallas_blo import blo_optimize_batch_pallas
+    tU_np = np.asarray(tUg)
+    tV_np = np.asarray(tVg)
+    tQ_np = np.asarray(tQg)
+    offs_rep = np.repeat(offs, PB)
+    cols = offs_rep[:, None] + np.arange(Wb)[None, :]        # [P, Wb]
+    pi = np.arange(P)[:, None, None]
+    RK = tU_np.shape[1]
+    rk_i = np.arange(RK)[None, :, None]
+    k_i = np.arange(tQ_np.shape[1])[None, :, None]
+    tu_w = tU_np[pi, rk_i, cols[:, None, :]]
+    tv_w = tV_np[pi, rk_i, cols[:, None, :]]
+    tq_w = tQ_np[pi, k_i, cols[:, None, :]]
+    ls_np = np.asarray(blo.ls)[e_ids]
+    l_w = ls_np[np.arange(P)[:, None], cols]
+    mask_np = np.asarray(bmask)
+
+    def counted(sm):
+        return blo_optimize_batch_pallas(
+            engine.consts, jnp.asarray(tu_w), jnp.asarray(tv_w),
+            jnp.asarray(tq_w), jnp.asarray(l_w), jnp.asarray(mask_np),
+            olen, max_smoothings=sm, count_iters=True)
+
+    c2 = counted(2)
+    cF = counted(32)
+    # sanity: the counted (plain) kernel reproduces the blocked kernel
+    blk_logl = np.asarray(kernel(32)[0])
+    cnt_logl = np.asarray(cF[0])
+    assert np.max(np.abs(cnt_logl - blk_logl)
+                  / np.maximum(1.0, np.abs(blk_logl))) < 1e-5
+    trips2 = np.asarray(c2[6])            # [n_blocks] executed iters
+    smooth2 = np.asarray(c2[7])
+    tripsF = np.asarray(cF[6])
+    smoothF = np.asarray(cF[7])
+    iters_per_solve2 = trips2 / np.maximum(1.0, 2 * smooth2)
+    iters_per_solveF = tripsF / np.maximum(1.0, 2 * smoothF)
+
+    OPS_FIXED_PER_SMOOTH = 820   # tile-ops x W per pair (docstring model)
+    OPS_PER_ITER = 90
     OPS_PROLOGUE = 427
-    lane_ops = P * Wb * (OPS_PROLOGUE + 2 * OPS_PER_SMOOTH)
+    lane_ops = float(Wb * PB * (OPS_PROLOGUE * len(trips2)
+                                + OPS_FIXED_PER_SMOOTH * smooth2.sum()
+                                + OPS_PER_ITER * trips2.sum()))
     achieved = lane_ops / t2
     VPU_PEAK = 8 * 128 * 4 * 0.94e9        # lane-ops/s, v5e
     # kernel HBM traffic: per-block DMA of tU/tV/tQ windows + tiny outputs
@@ -663,15 +733,26 @@ def run_roofline():
         "dispatch_s_2smooth": round(t_disp, 5),
         "gather_overhead_s": round(max(0.0, t_disp - t2), 5),
         "done_frac_after_1_smooth": round(float(done1.mean()), 4),
+        "measured_newton_iters_per_solve": round(
+            float(iters_per_solve2.mean()), 2),
+        "iters_per_solve_blocks_p50_p90_max": [
+            round(float(np.percentile(iters_per_solve2, 50)), 1),
+            round(float(np.percentile(iters_per_solve2, 90)), 1),
+            round(float(iters_per_solve2.max()), 1)],
+        "full_run_iters_per_solve_mean": round(
+            float(iters_per_solveF.mean()), 2),
+        "full_run_smoothings_per_block_mean": round(
+            float(smoothF.mean()), 2),
         "achieved_vector_gops": round(achieved / 1e9, 1),
         "vpu_peak_gops": round(VPU_PEAK / 1e9, 1),
         "vpu_util": round(achieved / VPU_PEAK, 4),
         "kernel_hbm_gb_per_s": round(hbm_bytes / t2 / 1e9, 2),
         "hbm_peak_gb_per_s": round(HBM_PEAK / 1e9, 1),
-        "note": ("VPU-compute-bound: the kernel's working set is "
-                 "VMEM-resident, so HBM traffic is the one-time window "
-                 "DMA; the op model's Newton iteration count (6/solve) "
-                 "is estimated, all other constants are structural"),
+        "note": ("VPU-compute-bound: the working set is VMEM-resident, "
+                 "HBM traffic is the one-time window DMA; Newton "
+                 "iteration counts are now MEASURED on hardware "
+                 "(count_iters kernel), the remaining op-model constants "
+                 "are structural tile-op counts"),
     }
 
 
@@ -970,6 +1051,8 @@ def _gates_line(result: dict) -> dict:
                          if k in acc}
     if "patterns" in cfgs:
         g["pattern_init_speedup"] = cfgs["patterns"].get("init_speedup")
+    if "opt_model" in cfgs:
+        g["opt_model_s"] = cfgs["opt_model"].get("wall_s")
     cm = cfgs.get("paperscale", {}).get("comms_model_ep8")
     if cm:
         g["ep8_ici_bytes_per_chunk"] = cm["total_ici_bytes_per_chunk"]

@@ -53,6 +53,25 @@ DEFAULT_PENDANT = 0.10536051565782628  # -log(0.9)
 OPT_BRANCH_EPSILON = 1e-1
 MAX_ITERS = 30       # inner Newton iterations (optimize.cpp:62)
 SMOOTHINGS = 32      # outer iterations (optimize.cpp:269)
+# Inner-Newton flat-region stopping rules. Without them, pairs whose
+# pendant optimum sits at t = infinity (garbage pairs: query unrelated
+# to the edge) crawl along the flat exponential asymptote at a
+# near-constant Newton step and exhaust MAX_ITERS — measured on hardware
+# (r05): ~37% of random pairs, dragging every lock-step 128-lane block
+# to 30 iterations/solve. The reference's scalar loop pays the same 30
+# crawl iterations and then accepts the unconverged point — those
+# pendant values are equally arbitrary; the logl agrees to ~1e-8.
+#
+# GAIN_EPSILON: the Newton-decrement rule — at d2 < 0 the remaining
+# objective gain to the local optimum is ~d1^2 / (2|d2|) (exact for both
+# quadratic optima and the garbage pairs' exponential tails), so
+# d1^2 <= GAIN_EPSILON * |d2| stops when at most ~0.005 logl remains,
+# 10-20x under the smoothing epsilon (0.1).
+# D1_EPSILON: absolute gradient floor (bounds the remaining gain by
+# D1_EPSILON * brlen-range = 0.01 logl) for d2 >= 0 plateaus where the
+# decrement is undefined.
+GAIN_EPSILON = 1e-2
+D1_EPSILON = 1e-4
 
 
 class EigConsts(NamedTuple):
@@ -159,22 +178,41 @@ def _newton(c: EigConsts, T, pinv_lin, site_mask, xmin, xmax, xtol, xguess):
         d2 = jnp.sum(site_mask * (omp * f2 / g - r1 * r1))
         return d1, d2
 
-    x0 = jnp.clip(xguess, xmin, xmax)
+    # anchor the solver state to the data's compute dtype: the guess /
+    # python-scalar bounds otherwise ride in as weak f64 under x64 and
+    # the new slid carry would freeze that into the loop
+    x0 = jnp.clip(xguess, xmin, xmax).astype(T.dtype)
 
     def body(_, state):
-        x, done = state
+        x, done, slid = state
         d1, d2 = derivs(x)
         newton_x = x - d1 / jnp.where(d2 == 0, 1.0, d2)
         # proper maximum requires d2 < 0; otherwise slide toward the bound
-        # in the uphill direction (cf. pllmod_opt_minimize_newton fallback)
-        slide = jnp.where(d1 > 0, (x + xmax) / 2, (x + xmin) / 2)
+        # in the uphill direction (cf. pllmod_opt_minimize_newton
+        # fallback). A SECOND consecutive slide in the same direction
+        # snaps straight TO the bound: the geometric approach would need
+        # ~log2(range/xtol) iterations to pass the |dx| < xtol test for
+        # an optimum that sits AT the bound (same rule as the Pallas
+        # kernel, ops.pallas_blo — the two paths stay trajectory-equal).
+        one = jnp.ones_like(slid)
+        dirn = jnp.where(d1 > 0, one, -one)
+        snap = (d2 >= 0) & (slid * dirn > 0)
+        bound = jnp.where(d1 > 0, xmax, xmin)
+        slide = jnp.where(snap, bound,
+                          jnp.where(d1 > 0, (x + xmax) / 2,
+                                    (x + xmin) / 2))
         xnew = jnp.where(d2 < 0, newton_x, slide)
-        xnew = jnp.clip(xnew, xmin, xmax)
-        converged = (jnp.abs(xnew - x) < xtol) | (d1 == 0)
+        xnew = jnp.clip(xnew, xmin, xmax).astype(x.dtype)
+        slid_n = jnp.where(d2 < 0, jnp.zeros_like(slid), dirn)
+        converged = ((jnp.abs(xnew - x) < xtol)
+                     | (jnp.abs(d1) <= D1_EPSILON)
+                     | ((d2 < 0) & (d1 * d1 <= GAIN_EPSILON * -d2)))
         xnew = jnp.where(done, x, xnew)
-        return xnew, done | converged
+        return xnew, done | converged, slid_n
 
-    x, _ = jax.lax.fori_loop(0, MAX_ITERS, body, (x0, jnp.asarray(False)))
+    x, _, _ = jax.lax.fori_loop(0, MAX_ITERS, body,
+                                (x0, jnp.asarray(False),
+                                 jnp.zeros_like(x0)))
     return x
 
 

@@ -40,10 +40,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from epa_ng_tpu.ops.newton import (BRLEN_DEFAULT, BRLEN_MAX, BRLEN_MIN,
-                                   DEFAULT_PENDANT, MAX_ITERS,
+                                   D1_EPSILON, DEFAULT_PENDANT,
+                                   GAIN_EPSILON, MAX_ITERS,
                                    OPT_BRANCH_EPSILON, SMOOTHINGS)
 
 PB = 128          # pairs per block (lane dimension)
+# Independent accumulator trees in the Newton reductions: MEASURED a ~10%
+# REGRESSION at 2 and 4 on the roofline shape (r05 A/B: t2 4.61 ms -> 5.07
+# / 4.98) — each [W, PB] tile op already spans ~20 vregs of independent
+# lanes, so the "serial chain" had ILP all along. Kept parameterized at 1.
+N_ACC = 1
 MAX_KERNEL_SITES = 1024  # VMEM budget bound on the window width (K=4)
 # joint (states x rates) x window VMEM budget: the kernel keeps ~5 live
 # [RK, W, PB] f32 tile sets (tU/tV scratch + back-transform/sumtable
@@ -75,6 +81,24 @@ def _blo_kernel(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
                  mask_ref, orig_ref,
                  None, logl_ref, pendant_ref, distal_ref, proximal_ref,
                  done_ref, max_smoothings=max_smoothings)
+
+
+def _blo_kernel_counted(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref,
+                        tQ_ref, mask_ref, orig_ref,
+                        logl_ref, pendant_ref, distal_ref, proximal_ref,
+                        done_ref, iters_ref, smooth_ref,
+                        *, max_smoothings: int):
+    """Instrumented :func:`_blo_kernel`: two extra [1, PB] outputs record
+    THIS BLOCK's executed inner-Newton trip count (summed over both
+    solves and all smoothings; the lock-step loops execute their
+    per-block max, which is exactly the roofline op model's constant)
+    and its executed smoothing count — replacing the model's estimated
+    6-iterations-per-solve with an on-hardware measurement."""
+    _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
+                 mask_ref, orig_ref,
+                 None, logl_ref, pendant_ref, distal_ref, proximal_ref,
+                 done_ref, max_smoothings=max_smoothings,
+                 iters_ref=iters_ref, smooth_ref=smooth_ref)
 
 
 def _blo_kernel_pinv(xrk_ref, omp_ref, wA_ref, A_ref, piA_ref, tU_ref,
@@ -201,7 +225,8 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
                  mask_ref, orig_ref,
                  skip_ref, logl_ref, pendant_ref, distal_ref, proximal_ref,
                  done_ref, *, max_smoothings: int,
-                 pinv_ref=None, omp_ref=None):
+                 pinv_ref=None, omp_ref=None,
+                 iters_ref=None, smooth_ref=None):
     """``pinv_ref`` ([W, PB], optional): the linear invariant-site term
     exp(log(pinv*pi_state) - ls) per (site, pair) — the +I models' second
     mixture component. With it, every site likelihood becomes
@@ -307,31 +332,63 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
         omp = None
 
     def newton(T, xmin, xmax, xtol, guess):
-        """T: list of RK [W,PB] tiles. Bounds/guess [1,PB] (or scalar)."""
+        """T: list of RK [W,PB] tiles. Bounds/guess [1,PB] (or scalar).
+
+        Safeguard: where d2 >= 0 (no proper maximum) the step slides
+        uphill toward a bound; a SECOND consecutive slide in the same
+        direction snaps straight TO that bound (carry ``slid``). Without
+        the snap a bound-optimum lane approaches geometrically and needs
+        ~log2(range/xtol) ~ 30 iterations — and the lock-step block pays
+        them for all 128 lanes (measured r05: blocks ran at the
+        MAX_ITERS=30 safety bound; with the snap, ~7/solve). The snapped
+        length differs from the limit of the slide sequence by < 2*xtol.
+        """
         x0 = jnp.clip(guess, xmin, xmax)
         done0 = skip  # 0/1 float mask; dead lanes never gate the loop
 
         def cond(carry):
-            # early exit once every pair in the block converged: Newton
-            # typically needs 3-6 iterations, MAX_ITERS (30) is only the
-            # safety bound — running it in full tripled the kernel time
-            _, done, i = carry
+            # early exit once every pair in the block converged;
+            # MAX_ITERS (30) is only the safety bound
+            done, i = carry[1], carry[2]
             return jnp.logical_and(i < MAX_ITERS, jnp.any(done < 1))
 
         def it(carry):
-            x, done, i = carry
+            x, done, i, slid = carry
             E = exps(x)
-            f0 = jnp.zeros((W, PB), dtype)
-            f1 = jnp.zeros((W, PB), dtype)
-            f2 = jnp.zeros((W, PB), dtype)
+            # independent accumulator trees: the f0/f1/f2 reductions over
+            # the RK (rate, state) lanes are the iteration's serial
+            # dependency chains; splitting each into N_ACC interleaved
+            # partial sums exposes N_ACC-way ILP to the VPU at the cost
+            # of N_ACC-1 extra adds per reduction (rounding changes are
+            # ~1e-6 relative, far under the 1e-4 hardware parity gate)
+            n_acc = N_ACC if RK >= 2 * N_ACC else 1
+            f0a = [None] * n_acc
+            f1a = [None] * n_acc
+            f2a = [None] * n_acc
+
+            def acc(lst, a, v):
+                lst[a] = v if lst[a] is None else lst[a] + v
+
             for j in range(RK):
+                a = j % n_acc
                 tE = emul(T[j], E[j])
-                f0 += tE
+                acc(f0a, a, tE)
                 if E[j] is None:  # zero-eigenvalue lane: x_j == 0 exactly
                     continue
                 xj = xrk_ref[j, 0]
-                f1 += tE * xj
-                f2 += tE * (xj * xj)
+                acc(f1a, a, tE * xj)
+                acc(f2a, a, tE * (xj * xj))
+
+            def tree(lst):
+                parts = [p for p in lst if p is not None]
+                while len(parts) > 1:
+                    parts = [parts[i] + parts[i + 1]
+                             if i + 1 < len(parts) else parts[i]
+                             for i in range(0, len(parts), 2)]
+                return (parts[0] if parts
+                        else jnp.zeros((W, PB), dtype))
+
+            f0, f1, f2 = tree(f0a), tree(f1a), tree(f2a)
             if pv is None:
                 g = jnp.maximum(f0, tiny)
                 inv_g = 1.0 / g
@@ -345,23 +402,42 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
             d2 = jnp.sum(mask * (f2 * inv_g - r1 * r1), axis=0,
                          keepdims=True)
             newton_x = x - d1 / jnp.where(d2 == 0, 1.0, d2)
-            slide = jnp.where(d1 > 0, (x + xmax) / 2, (x + xmin) / 2)
+            one = jnp.ones_like(x)
+            dirn = jnp.where(d1 > 0, one, -one)          # slide direction
+            snap = (d2 >= 0) & (slid * dirn > 0)
+            bound = jnp.where(d1 > 0, xmax, xmin)  # both broadcast [1,PB]
+            slide = jnp.where(
+                snap, bound,
+                jnp.where(d1 > 0, (x + xmax) / 2, (x + xmin) / 2))
             xn = jnp.clip(jnp.where(d2 < 0, newton_x, slide), xmin, xmax)
-            conv = (jnp.abs(xn - x) < xtol) | (d1 == 0)
+            slid_n = jnp.where(d2 < 0, jnp.zeros_like(x), dirn)
+            # flat-region stops (ops.newton.GAIN_EPSILON/D1_EPSILON):
+            # end the asymptote crawl of garbage pairs that otherwise
+            # drags every lock-step block to MAX_ITERS
+            conv = ((jnp.abs(xn - x) < xtol)
+                    | (jnp.abs(d1) <= D1_EPSILON)
+                    | ((d2 < 0) & (d1 * d1 <= GAIN_EPSILON * -d2)))
             xn = jnp.where(done > 0, x, xn)
             done = jnp.maximum(done, conv.astype(dtype))
-            return xn, done, i + 1
+            return xn, done, i + 1, slid_n
 
-        x, _, _ = jax.lax.while_loop(
-            cond, it, (x0, done0, jnp.zeros((), jnp.int32)))
-        return x
+        x, _, trips, _ = jax.lax.while_loop(
+            cond, it, (x0, done0, jnp.zeros((), jnp.int32),
+                       jnp.zeros((1, PB), dtype)))
+        return x, trips
 
     def score_from(T, lq):
         """Masked log-likelihood from an existing T at pendant length lq."""
         Eq = exps(lq)
-        f = jnp.zeros((W, PB), dtype)
+        n_acc = N_ACC if RK >= 2 * N_ACC else 1
+        fa = [None] * n_acc
         for j in range(RK):
-            f += emul(T[j], Eq[j])
+            a = j % n_acc
+            v = emul(T[j], Eq[j])
+            fa[a] = v if fa[a] is None else fa[a] + v
+        f = fa[0]
+        for p in fa[1:]:
+            f = f + p
         g = jnp.maximum(f if pv is None else omp * f + pv, tiny)
         return jnp.sum(mask * jnp.log(g), axis=0, keepdims=True)  # [1, PB]
 
@@ -374,18 +450,20 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
     T_init = tuple(build_T(half, half, q_plain))
     neg0 = -score_from(T_init, pendant0)
 
+    count = iters_ref is not None
+
     def smooth_cond(state):
-        _, _, _, _, it, done, _ = state
+        it, done = state[4], state[5]
         return jnp.logical_and(it < max_smoothings, jnp.any(done < 1))
 
     def smooth_body(state):
-        pendant, distal, proximal, neg_logl, it, done, T1 = state
+        pendant, distal, proximal, neg_logl, it, done, T1 = state[:7]
 
         # --- pendant Newton on T1(lp, ld fixed)
         guess = jnp.where((pendant < BRLEN_MIN) | (pendant > BRLEN_MAX),
                           BRLEN_DEFAULT, pendant)
-        new_pendant = newton(T1, BRLEN_MIN, BRLEN_MAX, BRLEN_MIN / 10.0,
-                             guess)
+        new_pendant, it1 = newton(T1, BRLEN_MIN, BRLEN_MAX,
+                                  BRLEN_MIN / 10.0, guess)
 
         # --- distal Newton: swap roles (variable = distal side): the
         # trilinear form is symmetric, so T2[j=(r,k2)] contracts the
@@ -400,7 +478,7 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
 
         guess2 = jnp.where((distal < dist_min) | (distal > dist_max),
                            half, distal)
-        new_distal = newton(T2, dist_min, dist_max, dist_tol, guess2)
+        new_distal, it2 = newton(T2, dist_min, dist_max, dist_tol, guess2)
         new_proximal = orig - new_distal
 
         T_new = tuple(build_T(new_proximal, new_distal, q_plain))
@@ -414,19 +492,27 @@ def _blo_compute(xrk_ref, wA_ref, A_ref, piA_ref, tU_ref, tV_ref, tQ_ref,
         proximal_out = jnp.where(keep > 0, proximal, new_proximal)
         neg_out = jnp.where(keep > 0, neg_logl, new_neg)
         done_out = jnp.maximum(keep, converged.astype(dtype))
-        return (pendant_out, distal_out, proximal_out, neg_out, it + 1,
-                done_out, T_new)
+        out = (pendant_out, distal_out, proximal_out, neg_out, it + 1,
+               done_out, T_new)
+        if count:  # block-level executed-trip accumulator
+            out += (state[7] + it1 + it2,)
+        return out
 
     state = (pendant0, half, half, neg0,
              jnp.zeros((), jnp.int32), skip, T_init)
-    pendant, distal, proximal, neg_logl, _, done, _ = jax.lax.while_loop(
-        smooth_cond, smooth_body, state)
+    if count:
+        state += (jnp.zeros((), jnp.int32),)
+    final = jax.lax.while_loop(smooth_cond, smooth_body, state)
+    pendant, distal, proximal, neg_logl, n_smooth, done = final[:6]
 
     logl_ref[...] = -neg_logl
     pendant_ref[...] = pendant
     distal_ref[...] = distal
     proximal_ref[...] = proximal
     done_ref[...] = done
+    if count:
+        iters_ref[...] = jnp.full((1, PB), final[7].astype(dtype))
+        smooth_ref[...] = jnp.full((1, PB), n_smooth.astype(dtype))
 
 
 def _g_tensor(A: np.ndarray, freqs: np.ndarray) -> np.ndarray:
@@ -474,19 +560,23 @@ def blo_supported(consts, width: int, sliding: bool = True) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("max_smoothings", "interpret",
-                                             "has_pinv"))
+                                             "has_pinv", "count_iters"))
 def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
                               inv_logfreq=None,
                               max_smoothings: int = SMOOTHINGS,
                               interpret: bool = False,
-                              has_pinv: bool = False):
+                              has_pinv: bool = False,
+                              count_iters: bool = False):
     """Drop-in (sliding-mode) replacement for
     ops.newton.blo_optimize_batch. Inputs as there: tU, tV [B, R*K, W]
     pre-transformed windows; tQ [B, K, W]; ls, site_mask [B, W];
     orig_len [B]. With ``has_pinv`` (the +I models), ``inv_logfreq``
     [B, W] feeds the kernel's linear invariant term (exp(invf - ls));
     otherwise it is accepted for signature parity and ignored (all
-    -inf)."""
+    -inf). ``count_iters`` (measurement mode, exclusive with has_pinv)
+    appends two per-BLOCK arrays to the return: executed inner-Newton
+    trips and executed smoothings per 128-pair block — the lock-step
+    loops' true trip counts, feeding the roofline's op model."""
     B, RK, W = tU.shape
     K = tQ.shape[1]
     dtype = tU.dtype
@@ -524,7 +614,9 @@ def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
                     pl.BlockSpec((K, W, PB), lambda p: (0, 0, p),
                                  memory_space=pltpu.VMEM),  # tQ
                     wspec]                             # mask
+    n_out = 7 if count_iters else 5
     if has_pinv:
+        assert not count_iters, "count_iters is a plain-kernel probe"
         # linear invariant term in the kernel's scaled space
         pvk = pad(jnp.exp(inv_logfreq - ls)).transpose(1, 0)   # [W, NP]
         omp = (1.0 - consts.pinv).astype(dtype).reshape(1, 1)
@@ -533,21 +625,23 @@ def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
         in_specs = [smem, smem] + common_specs + [wspec, out_spec]
         args = (x_rk, omp, wA, A, piA, tUk, tVk, tQk, maskk, pvk, orig)
     else:
-        kern = functools.partial(_blo_kernel,
-                                 max_smoothings=max_smoothings)
+        kern = functools.partial(
+            _blo_kernel_counted if count_iters else _blo_kernel,
+            max_smoothings=max_smoothings)
         in_specs = [smem] + common_specs + [out_spec]
         args = (x_rk, wA, A, piA, tUk, tVk, tQk, maskk, orig)
 
-    logl, pendant, distal, proximal, done = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
-        out_shape=(out_shape, out_shape, out_shape, out_shape, out_shape),
+        out_specs=(out_spec,) * n_out,
+        out_shape=(out_shape,) * n_out,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    logl, pendant, distal, proximal, done = outs[:5]
 
     # the kernel scores in scaled space; add back the per-pair log-scale sum
     ls_sum = jnp.sum(site_mask * ls, axis=1)       # [B]
@@ -557,7 +651,12 @@ def blo_optimize_batch_pallas(consts, tU, tV, tQ, ls, site_mask, orig_len,
     proximal = proximal[0, :B]
     done_b = done[0, :B] > 0
     distal_rep = (orig_len / (distal + proximal)) * distal
-    return logl, pendant, distal_rep, distal, proximal, done_b
+    ret = (logl, pendant, distal_rep, distal, proximal, done_b)
+    if count_iters:
+        # per-block trip counts (constant across each block's 128 lanes)
+        ret += (outs[5][0].reshape(n_blocks, PB)[:, 0],
+                outs[6][0].reshape(n_blocks, PB)[:, 0])
+    return ret
 
 
 @functools.partial(jax.jit,
