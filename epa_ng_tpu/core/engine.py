@@ -212,6 +212,7 @@ class PlacementEngine:
 
     def _finish_init(self, ref_logl: Optional[float] = None):
         self._sharded = None
+        self._escalations = 0  # chunks rescued by the wide-budget ladder
         # sanity check: finite reference-tree log-likelihood
         # (reference: src/tree/Tree.cpp:49-53)
         self.ref_tree_logl = (float(self._reference_logl())
@@ -399,8 +400,13 @@ class PlacementEngine:
         runtime successor of the reference's stage-difficulty measurement,
         src/pipeline/Pipeline.hpp:84-125). Two passes; the second is
         timed so one-off compiles (or cache loads) don't pollute the
-        rate."""
+        rate. NOTE: with a cold persistent compile cache the warmup pass
+        compiles a synthetic-chunk program (minutes on a tunneled TPU) —
+        a per-host one-time tax of --adaptive-split; subsequent runs load
+        from the cache in sub-seconds."""
         import time as _time
+        log.info("Calibrating placement rate (first run may compile a "
+                 "synthetic-chunk program; cached across runs)")
         rng = np.random.default_rng(seed)
         S = self.num_sites
         chars = lookup_chars(self.model.num_states)
@@ -530,9 +536,46 @@ class PlacementEngine:
             result = self._finalize_chunk_fused(state)
             if result is not None:
                 return result
-            # >20% of queries saturated the top-k budget: whole chunk
-            # falls back to the exact path
             ec, seq_id_offset = state["ec"], state["seq_id_offset"]
+            # >20% of queries saturated the top-k budget or lost pairs to
+            # the dynamic budget halving: before surrendering to the
+            # host-orchestrated exact pass, re-dispatch the WHOLE chunk
+            # fused at an escalating candidate budget (4x, then 256).
+            # Junk/noise reads are a normal metagenomic input class
+            # (reference degrades gracefully there too,
+            # src/core/heuristics.hpp:66-88); measured on 2048-taxon
+            # noise chunks the dynamic cut's demand is p99 ~35 and max
+            # ~91 candidates, so the 64/256 rungs de-saturate essentially
+            # every real chunk and the exact pass remains only for
+            # pathological posteriors flatter than random noise.
+            heur_mode = state.get("heur_mode", "dynamic")
+            if heur_mode == "dynamic":
+                topk = state.get("topk", self.options.fused_topk)
+                for k2 in (max(4 * topk, 64), 256):
+                    if not (topk < k2 < self.num_edges):
+                        continue
+                    # HBM guard: the whole-chunk pair gather at k2 is
+                    # O(Q * k2/2 * (2RK + K) * S) transient bytes; a rung
+                    # that would not fit comfortably surrenders to the
+                    # exact pass instead (its per-pair windows are
+                    # bounded). In practice only the 256 rung on big
+                    # chunks trips this, and the 64 rung has already
+                    # de-saturated all but ~0.4% of noise queries.
+                    pairs = len(ec) * k2 // 2
+                    RK = int(self.consts.A.shape[-1]
+                             * self.consts.rates.shape[0])
+                    K = int(self.consts.A.shape[-1])
+                    est = pairs * (2 * RK + K) * self.num_sites * (
+                        4 if self.dtype == jnp.float32 else 8)
+                    if est > 2 << 30:
+                        break
+                    state2 = self._dispatch_chunk_fused(
+                        ec, seq_id_offset, heur_mode, topk=k2)
+                    result = self._finalize_chunk_fused(state2)
+                    if result is not None:
+                        self._escalations += 1
+                        return result
+                    topk = k2
         else:
             ec, seq_id_offset = state
         return self._place_chunk_exact(ec, seq_id_offset)
@@ -634,7 +677,7 @@ class PlacementEngine:
                 "ec": ec, "out": out, "perm": perm, "Qr": Qr,
                 "codes": codes, "ranges": ranges,
                 "tQ": tQ, "invq": invq, "seq_id_offset": seq_id_offset,
-                "heur_mode": heur_mode,
+                "heur_mode": heur_mode, "topk": topk,
             }
         blo = self.blo
         out = placement_step(
@@ -653,7 +696,7 @@ class PlacementEngine:
             "ec": ec, "out": out, "perm": perm, "Qr": Qr,
             "codes": codes, "ranges": ranges,
             "tQ": tQ, "invq": invq, "seq_id_offset": seq_id_offset,
-            "heur_mode": heur_mode,
+            "heur_mode": heur_mode, "topk": topk,
         }
 
     def _finalize_chunk_fused(self, state):

@@ -274,9 +274,21 @@ def optimize_model(tree, ref_msa, model, dtype=jnp.float64,
             p = jax.tree.map(jnp.nan_to_num, p)
             p = {k: jnp.clip(v, *_clips[k]) for k, v in p.items()}
             return p, state, value
+        # early stop on loss plateau, checked every CHECK steps (a
+        # per-step host sync would serialize the whole L-BFGS run behind
+        # device round trips): the reference's inner optimizers carry
+        # their own epsilons too (pllmod opt, optimize.cpp:329-455), and
+        # on big trees the fixed 200-step round is mostly plateau
+        CHECK, INNER_EPS = 20, OPT_EPSILON / 10.0
         value = None
-        for _ in range(steps):
+        prev = None
+        for i in range(steps):
             p, state, value = step(p, state)
+            if (i + 1) % CHECK == 0:
+                v = float(value)
+                if prev is not None and abs(prev - v) < INNER_EPS:
+                    break
+                prev = v
         return p, float(value)
 
     neg = float(loss_fn(params, cat_rates_for(alpha)))

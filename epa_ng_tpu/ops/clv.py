@@ -143,8 +143,17 @@ def tip_state_masks(tree: Tree, msa, num_states: int) -> np.ndarray:
     by_label = {s.header: s.sequence for s in msa}
     sites = msa.num_sites
     out = np.zeros((tree.n_tips, sites), dtype=np.uint32)
+    missing = []
     for t, label in enumerate(tree.labels):
-        out[t] = encode_states(by_label[label], num_states)
+        seq = by_label.get(label)
+        if seq is None:  # same error as tip_clv_matrix (epa_pll_util.cpp
+            missing.append(label)  # link_tree_msa missing-taxa semantics)
+            continue
+        out[t] = encode_states(seq, num_states)
+    if missing:
+        raise ValueError(
+            "The reference Tree contained taxa that could not be found in "
+            f"the reference MSA: {', '.join(missing)}")
     return out
 
 

@@ -145,3 +145,27 @@ def test_fused_flat_posterior_budget_fallback():
                                    atol=1e-6)
         np.testing.assert_allclose(np.sort(a.lwrs), np.sort(b.lwrs),
                                    atol=1e-6)
+
+
+def test_fused_saturation_escalation():
+    """A chunk whose queries mostly saturate a tiny candidate budget must
+    be rescued by the escalating wide-budget re-dispatch (one fused step
+    at 4x/64, then 256) instead of surrendering straight to the
+    host-orchestrated exact pass — and produce the exact path's output."""
+    import numpy as np
+
+    from epa_ng_tpu.utils.synth import synth_dataset
+
+    tree, ref, qry = synth_dataset(n_taxa=128, sites=192, n_queries=48,
+                                   seed=11)
+    eng = PlacementEngine(tree, ref, Model.from_string("GTR+G"),
+                          Options(blo_block=64, fused_topk=2))
+    fused = eng.place_chunk(qry)
+    assert eng._escalations > 0, "wide-budget ladder never engaged"
+    exact = eng._place_chunk_exact(eng.encode_msa(qry), 0)
+    assert len(fused) == len(exact) == 48
+    for a, b in zip(fused, exact):
+        np.testing.assert_allclose(np.sort(a.logls), np.sort(b.logls),
+                                   atol=1e-6)
+        assert a.edge_nums[0] == b.edge_nums[0] or abs(
+            a.logls[0] - b.logls[0]) <= 1e-6
