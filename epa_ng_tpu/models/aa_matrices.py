@@ -4,9 +4,9 @@
 the PAML / libpll order ARNDCQEGHILKMFPSTWYV and rates covering the upper
 triangle row-major (AR, AN, AD, ..., WY).
 
-Built in: LG, WAG, JTT, DAYHOFF — the published tables every phylogenetics
-package redistributes (provenance in epa_ng_tpu.models.aa_data). Everything
-else is supported through:
+Built in: LG, WAG, JTT, DAYHOFF (provenance in epa_ng_tpu.models.aa_data)
+plus MTREV, CPREV, MTMAM, RTREV, MTART (transcribed + validated,
+epa_ng_tpu.models.aa_data_ext). Everything else is supported through:
 
 - ``PROTGTR{...190 rates...}+FU{...20 freqs...}`` descriptor strings,
 - model files from RAxML8 ``-f e`` / raxml-ng / IQ-TREE runs, which embed the
@@ -23,8 +23,10 @@ import os
 import numpy as np
 
 from epa_ng_tpu.models.aa_data import builtin_matrices
+from epa_ng_tpu.models.aa_data_ext import NPZ_ONLY, extended_matrices
 
 MATRICES: dict[str, tuple[np.ndarray, np.ndarray]] = builtin_matrices()
+MATRICES.update(extended_matrices())
 
 # Mixture matrices (LG4M/LG4X-style): name -> (components, mixtype) where
 # components is a list of (rates[190], freqs[20]) — one per rate category —

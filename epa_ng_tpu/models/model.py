@@ -263,8 +263,9 @@ class Model:
             else:
                 reg = _aa_registry()
                 if name_u not in reg:
-                    hint = (" (a known pll model name — provide its table "
-                            "as an npz via EPA_NG_TPU_AA_DATA)"
+                    hint = (" (a known pll model name — convert its "
+                            "published table with tools/make_aa_npz.py "
+                            "and set EPA_NG_TPU_AA_DATA to the npz dir)"
                             if name_u in _KNOWN_AA_NAMES else "")
                     raise ModelError(
                         f"Invalid or unavailable protein model: {name}{hint}. "
