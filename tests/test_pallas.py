@@ -261,3 +261,37 @@ def test_pallas_blo_pinv_matches_xla_interpret():
     pd = np.abs(np.asarray(ref_out[1]) - np.asarray(pal_out[1]))[sharp]
     assert np.quantile(pd, 0.9) < 0.01  # see rationale above
     assert pd.max() < 10.0
+
+
+def test_pallas_count_iters_instrumentation():
+    """The count_iters measurement mode (roofline evidence path) must
+    return per-block executed trip/smoothing counts without changing the
+    optimization outputs."""
+    tree, ref, qry = synth_dataset(n_taxa=16, sites=64, n_queries=8, seed=8)
+    model = Model.from_string(
+        "GTR{1.1/2.9/0.8/1.2/3.4/1}+FU{0.27/0.23/0.24/0.26}+G4{0.6}")
+    eng = PlacementEngine(tree, ref, model, Options(compute_dtype="f32"))
+    blo = eng.blo
+    codes, qmasks, ranges = eng._encode_chunk(qry)
+    tQ, invq = eng._query_tensors(qmasks)
+    site = np.arange(64)
+    sm = jnp.asarray(((site[None, :] >= ranges[:, :1])
+                      & (site[None, :] < ranges[:, :1] + ranges[:, 1:2])),
+                     jnp.float32)
+    rng = np.random.default_rng(12)
+    P = 16
+    pe = jnp.asarray(rng.integers(0, eng.num_edges, P, dtype=np.int32))
+    pq = jnp.asarray(rng.integers(0, 8, P, dtype=np.int32))
+    args = (eng.consts, blo.tU[pe], blo.tV[pe], tQ[pq], blo.ls[pe],
+            sm[pq], blo.lengths[pe], invq[pq])
+    plain = blo_optimize_batch_pallas(*args, interpret=True)
+    counted = blo_optimize_batch_pallas(*args, interpret=True,
+                                        count_iters=True)
+    np.testing.assert_allclose(np.asarray(plain[0]), np.asarray(counted[0]),
+                               rtol=1e-6)
+    trips, smooth = np.asarray(counted[6]), np.asarray(counted[7])
+    assert trips.shape == smooth.shape == (1,)  # 16 pairs -> 1 block
+    assert (smooth >= 1).all() and (smooth <= newton.SMOOTHINGS).all()
+    # at least one inner iteration per executed solve, at most MAX_ITERS
+    assert (trips >= 2 * smooth).all()
+    assert (trips <= 2 * smooth * newton.MAX_ITERS).all()
