@@ -126,16 +126,22 @@ def run_fused_step(n_taxa=None, sites=None, n_queries=None, chunk=None,
             jax.block_until_ready(step(ch))
 
     # best of 3 repetitions: the tunneled-TPU relay adds ~ms-scale jitter
-    # per dispatch; the steady-state throughput is the jitter-free run
-    best_dt = float("inf")
+    # per dispatch; the steady-state throughput is the jitter-free run.
+    # Guard against anomalous-FAST reps too (r05 rehearsal recorded one
+    # rep at ~0.4 ms for 8 chunks — physically impossible through the
+    # relay — which min() latched onto): a rep under half the median is
+    # a measurement artifact, not a speedup, and is discarded.
+    dts = []
     for _ in range(3):
         t0 = time.perf_counter()
         results = []
         for ch in chunks:
             results.append(step(ch))
         jax.block_until_ready(results)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
+        dts.append(time.perf_counter() - t0)
+    dts.sort()
+    med = dts[len(dts) // 2]
+    dt = next(d for d in dts if d >= 0.5 * med)
 
     logl0 = np.asarray(results[0][1])
     assert np.isfinite(logl0).all(), "bench produced non-finite logls"
@@ -237,13 +243,18 @@ def _measure_engine(tree, ref, qry, opts, chunk: int,
         n += len(msa)
     # warmup / compile
     engine.finalize_chunk(engine.place_encoded_async(ecs[0]))
-    dt = float("inf")
+    dts = []
     for _ in range(max(1, reps)):
         t0 = time.perf_counter()
         handles = [engine.place_encoded_async(ec) for ec in ecs]
         for h in handles:
             engine.finalize_chunk(h)
-        dt = min(dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
+    dts.sort()
+    med = dts[len(dts) // 2]
+    # fastest rep that is not an anomalous-fast artifact (see
+    # run_fused_step's guard)
+    dt = next(d for d in dts if d >= 0.5 * med)
     return n / dt, dt, engine
 
 
@@ -332,11 +343,15 @@ def run_extra_configs(deadline: float | None = None):
                           for pq, t in zip(pq_heur, true_edges)])
         # the exhaustive oracle (VERDICT r04 missing #3): --no-heur
         # recovery on the SAME evolved set bounds what any heuristic can
-        # achieve — the distance between recov and recov_full is the
-        # heuristic's loss, the distance between recov_full and 1.0 is
-        # the likelihood surface's own ambiguity (attachment points near
+        # achieve — the distance between recov_full and 1.0 is the
+        # likelihood surface's own ambiguity (attachment points near
         # nodes are genuinely ambiguous; reference claim being validated:
-        # /root/reference/README.md:179-180)
+        # /root/reference/README.md:179-180). Measured r05: the
+        # exhaustive sweep recovers the true edge LESS often (0.695)
+        # than the heuristic pipeline (0.746) — on ambiguous queries the
+        # full-logl argmax is essentially a coin toss among near-tied
+        # edges, so 0.746 is the surface's ceiling, not heuristic loss
+        # (consistent with tie-aware agreement = 1.0)
         recov_full = _np.mean([int(pq.edge_nums[0]) == t
                                for pq, t in zip(pq_full, true_edges)])
         # dynamic-heuristic live fraction within the default top-16 fused
@@ -479,7 +494,7 @@ def run_extra_configs(deadline: float | None = None):
                     {"model": MODEL,
                      "options": Options(compute_dtype="f32", memsave=True,
                                         memsave_budget_gb=gb)}, 512,
-                    engine_kind="memsave")
+                    engine_kind="memsave", reps=2)
             else:
                 if gb is None:
                     gb = eng.host_resident_bytes() / 2 / 1e9
@@ -487,7 +502,7 @@ def run_extra_configs(deadline: float | None = None):
                 eng._init_cache()
                 qps, dt, eng = _measure_engine(tree, ref, qry, {}, 512,
                                                engine_kind="memsave",
-                                               engine=eng)
+                                               engine=eng, reps=2)
             tiers[name] = {
                 "qps": round(qps, 2), "wall_s": round(dt, 3),
                 "cached_edges": eng._blo_cache_edges,

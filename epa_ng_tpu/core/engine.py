@@ -205,8 +205,13 @@ class PlacementEngine:
         # tip transforms) move to the accelerator here.
         self._lookup_table = None
         self._blo = None
-        self.consts = jax.device_put(self.consts)
-        self._char_clvs = jax.device_put(self._char_clvs)
+        # rebuild as UNCOMMITTED default-device arrays: device_put
+        # without a device leaves CPU-built arrays parked on the CPU
+        # backend and fractures the jit cache with mixed-placement
+        # arguments (see OutOfCoreEngine._offload)
+        self.consts = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a)), self.consts)
+        self._char_clvs = jnp.asarray(np.asarray(self._char_clvs))
         log.info("Attached %dx%d (dp x ep) device mesh",
                  dp, mesh.shape["ep"])
 
