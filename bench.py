@@ -129,8 +129,9 @@ def run_fused_step(n_taxa=None, sites=None, n_queries=None, chunk=None,
     # per dispatch; the steady-state throughput is the jitter-free run.
     # Guard against anomalous-FAST reps too (r05 rehearsal recorded one
     # rep at ~0.4 ms for 8 chunks — physically impossible through the
-    # relay — which min() latched onto): a rep under half the median is
-    # a measurement artifact, not a speedup, and is discarded.
+    # relay, which charges ~1 ms per dispatched step — which min()
+    # latched onto): reps under the dispatch-latency floor are
+    # measurement artifacts, not speedups, and are discarded.
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -139,9 +140,8 @@ def run_fused_step(n_taxa=None, sites=None, n_queries=None, chunk=None,
             results.append(step(ch))
         jax.block_until_ready(results)
         dts.append(time.perf_counter() - t0)
-    dts.sort()
-    med = dts[len(dts) // 2]
-    dt = next(d for d in dts if d >= 0.5 * med)
+    floor = 1e-3 * len(chunks)
+    dt = min([d for d in dts if d >= floor] or dts)
 
     logl0 = np.asarray(results[0][1])
     assert np.isfinite(logl0).all(), "bench produced non-finite logls"
@@ -250,11 +250,10 @@ def _measure_engine(tree, ref, qry, opts, chunk: int,
         for h in handles:
             engine.finalize_chunk(h)
         dts.append(time.perf_counter() - t0)
-    dts.sort()
-    med = dts[len(dts) // 2]
-    # fastest rep that is not an anomalous-fast artifact (see
-    # run_fused_step's guard)
-    dt = next(d for d in dts if d >= 0.5 * med)
+    # fastest rep above the dispatch-latency floor (see run_fused_step's
+    # anomalous-fast guard; finalize adds at least one more round trip)
+    floor = 2e-3 * len(ecs)
+    dt = min([d for d in dts if d >= floor] or dts)
     return n / dt, dt, engine
 
 

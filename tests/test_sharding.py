@@ -156,3 +156,28 @@ def test_cli_mesh_equals_plain(tmp_path):
     for k in pa:
         for ra, rb in zip(pa[k], pb[k]):
             assert ra == pytest.approx(rb, abs=1e-9)
+
+
+def test_attach_mesh_escalation_equals_plain():
+    """The saturation-escalation ladder (engine.finalize_chunk) must run
+    through the shard_map'd step too: a tiny fused budget saturates most
+    queries, the 64-wide re-dispatch rescues the chunk on the mesh, and
+    the output matches the plain engine's exact path."""
+    tree, ref, qry = synth_dataset(n_taxa=64, sites=128, n_queries=24,
+                                   seed=33)
+    model = "GTR{1.3/2.2/0.9/1.4/3.8/1}+FU{0.26/0.24/0.25/0.25}+G4{0.9}"
+    plain = PlacementEngine(tree, ref, Model.from_string(model),
+                            Options(blo_block=64))
+    exact = plain._place_chunk_exact(plain.encode_msa(qry), 0)
+
+    meshed = PlacementEngine(tree, ref, Model.from_string(model),
+                             Options(blo_block=64, fused_topk=2))
+    meshed.attach_mesh(make_mesh(4, 2))
+    pq_mesh = meshed.place_chunk(qry)
+    assert meshed._escalations > 0, "ladder never engaged on the mesh"
+    assert len(pq_mesh) == len(exact) == 24
+    for a, b in zip(pq_mesh, exact):
+        np.testing.assert_allclose(np.sort(a.logls), np.sort(b.logls),
+                                   atol=1e-6)
+        assert a.edge_nums[0] == b.edge_nums[0] or abs(
+            a.logls[0] - b.logls[0]) <= 1e-6
