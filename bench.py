@@ -294,7 +294,7 @@ def run_extra_configs(deadline: float | None = None):
             tree, ref, qry, {"model": MODEL,
                              "options": Options(compute_dtype="f32",
                                                 prescoring=False)}, 512,
-            reps=2)
+            reps=3)
         pairs = 1024 * eng.num_edges
         W = 256  # bucketed window ~= read width
         bytes_per_pair = 2 * 16 * W * 4  # tU+tV rows touched per smoothing
