@@ -586,11 +586,17 @@ def run_extra_configs(deadline: float | None = None):
         ("optmodel", cfg_optmodel),
         ("patterns", cfg_patterns),
     ]
+    cfg_s = {}
     for name, fn in configs:
         if deadline is not None and time.perf_counter() > deadline:
             out.setdefault("skipped_over_budget", []).append(name)
             continue
+        t0 = time.perf_counter()
         fn()
+        cfg_s[name] = round(time.perf_counter() - t0, 1)
+        print(f"bench: extra config {name} took {cfg_s[name]}s",
+              file=sys.stderr)
+    out["config_s"] = cfg_s
     return out
 
 def run_roofline():

@@ -574,8 +574,17 @@ class PlacementEngine:
                         4 if self.dtype == jnp.float32 else 8)
                     if est > 2 << 30:
                         break
+                    # K>=20 rungs run the XLA Newton branch: tracing a
+                    # fresh K=20/mixture Pallas instantiation costs
+                    # minutes of pure python per (budget, window)
+                    # signature — far more than the device time the
+                    # kernel saves on a rescue dispatch (same argument
+                    # as _thorough's small-batch XLA rule; measured:
+                    # the AA/mixture bench configs spent ~200 s each
+                    # tracing escalated kernel variants)
                     state2 = self._dispatch_chunk_fused(
-                        ec, seq_id_offset, heur_mode, topk=k2)
+                        ec, seq_id_offset, heur_mode, topk=k2,
+                        allow_pallas=K < 20)
                     result = self._finalize_chunk_fused(state2)
                     if result is not None:
                         self._escalations += 1
@@ -622,7 +631,8 @@ class PlacementEngine:
 
     def _dispatch_chunk_fused(self, ec: EncodedChunk, seq_id_offset,
                               heur_mode: str = "dynamic",
-                              topk: int | None = None):
+                              topk: int | None = None,
+                              allow_pallas: bool = True):
         """Fused-step fast path, dispatch half: encode-sort-pad, enqueue
         the jitted placement step, return the pending state dict."""
         from epa_ng_tpu.parallel.mesh import chunk_site_width, placement_step
@@ -657,7 +667,7 @@ class PlacementEngine:
                 opts.filter_max)
         fthresh = jnp.asarray(opts.support_threshold, self.dtype)
         Wb = None
-        if self._use_pallas(W):
+        if allow_pallas and self._use_pallas(W):
             # only the static window WIDTH is planned host-side; the
             # per-block offsets are computed on device after the
             # candidate compaction (parallel.mesh.placement_step). The
@@ -691,7 +701,8 @@ class PlacementEngine:
             jnp.asarray(ranges[:, 1]), tQ, invq,
             jnp.asarray(opts.prescoring_threshold, self.dtype),
             topk=topk, sliding=opts.sliding_blo,
-            site_width=W, packed=True, use_pallas=self._use_pallas(W),
+            site_width=W, packed=True,
+            use_pallas=allow_pallas and self._use_pallas(W),
             block_width=Wb,
             filter_cfg=fcfg,
             filter_threshold=fthresh,
@@ -816,9 +827,14 @@ class PlacementEngine:
         # the redo rows are a subset of the begin-sorted chunk, so the
         # blocked Pallas path's window assumption holds; at the 16x
         # candidate budget the XLA fallback costs ~1s of lock-step Newton
-        # per chunk where the kernel needs tens of ms
+        # per chunk where the kernel needs tens of ms. K>=20 models take
+        # the XLA branch here: tracing a fresh K=20/mixture kernel
+        # instantiation per (budget, window) signature costs minutes of
+        # pure python — the small redo batches never pay that back (same
+        # rule as _thorough's small-batch dispatch and the escalation
+        # ladder)
         Wb2 = None
-        if self._use_pallas(W2):
+        if self._use_pallas(W2) and self.model.num_states < 20:
             from epa_ng_tpu.ops.pallas_blo import plan_blocks
             _, Wb2, _ = plan_blocks(sub_r[:, 0].astype(np.int32),
                                     sub_r[:, 1].astype(np.int32),
