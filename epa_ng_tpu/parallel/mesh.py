@@ -114,7 +114,7 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
                    site_width: int | None = None, packed: bool = False,
                    use_pallas: bool = False,
                    block_width: int | None = None,
-                   phase1: int = 2,
+                   phase1: int = 3,
                    filter_cfg: tuple | None = None,
                    filter_threshold=0.0,
                    heur_mode: str = "dynamic",
@@ -137,12 +137,14 @@ def placement_step(consts: newton.EigConsts, table, tU, tV, ls, lengths,
 
     ``phase1``: two-phase convergence compaction inside the blocked Pallas
     path. The 128-pair blocks run the smoothing loop in lock-step, so one
-    straggler drags its whole block to its own iteration count; but ~85%
-    of pairs converge (or roll back) within 2 smoothings. Phase A runs
+    straggler drags its whole block to its own iteration count; most
+    pairs converge (or roll back) within a few smoothings. Phase A runs
     everything with this small cap, then the unconverged pairs (their
     convergence difficulty is spread evenly over blocks) are compacted on
     device into a small pair budget (NP/4) that reruns with the full
-    smoothing budget. Restarting is trajectory-identical to one long run:
+    smoothing budget. Default 3: re-tuned after the r05 flat-region
+    stopping rules cut the inner iteration counts (interleaved A/B on
+    the headline shape: phase1=3 ~92-94k q/s vs phase1=2 ~89-91k). Restarting is trajectory-identical to one long run:
     the smoothing recursion is deterministic from the fixed init. Pairs
     that exceed the phase-B budget (never seen in practice) are flagged
     uncomputed and the engine re-places their queries exactly.
@@ -284,7 +286,7 @@ def _newton_blocked_pallas(consts, tU, tV, ls, lengths, tQ, flat_e, q_ids0,
 
     ``phase1``: two-phase convergence compaction. The 128-pair blocks run
     the smoothing loop in lock-step, so one straggler drags its whole
-    block to its own iteration count; but ~85% of pairs converge (or roll
+    block to its own iteration count; but most pairs converge (or roll
     back) within 2 smoothings. Phase A runs everything with this small
     cap, then the unconverged pairs are compacted on device into a small
     pair budget (NP/4) that reruns with the full smoothing budget.
@@ -665,7 +667,7 @@ def _make_spmd_step(mesh: Mesh):
     def step(consts, table, tU, tV, ls, lengths, codes, begins, spans,
              tQ, invq, threshold, filter_threshold, topk: int = 8,
              sliding: bool = True, site_width=None,
-             use_pallas: bool = False, block_width=None, phase1: int = 2,
+             use_pallas: bool = False, block_width=None, phase1: int = 3,
              filter_cfg=None, heur_mode: str = "dynamic",
              packed: bool = False, has_pinv: bool = False):
         body = partial(_spmd_step_body, n_ep=n_ep, topk=topk,
@@ -762,7 +764,7 @@ class ShardedPlacement:
                    sliding: bool, site_width: int, filter_cfg,
                    filter_threshold, heur_mode: str,
                    use_pallas: bool = False, block_width=None,
-                   phase1: int = 2, has_pinv: bool = False):
+                   phase1: int = 3, has_pinv: bool = False):
         """The engine's full fused dispatch (packed + device-side filter)
         over the mesh — the sharded twin of the single-device call in
         PlacementEngine._dispatch_chunk_fused, running the SAME kernels
