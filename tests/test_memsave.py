@@ -182,3 +182,23 @@ def test_memsave_binary_roundtrip(tmp_path, data):
     ooc = load_binary(path, dataclasses.replace(opts, memsave=True),
                       engine_cls=OutOfCoreEngine)
     _compare(dev.place_chunk(qry), ooc.place_chunk(qry))
+
+
+def test_memsave_full_cover_escalation(data):
+    """Full-cover --memsave inherits the parent's escalation ladder: a
+    tiny fused budget saturates, the wide re-dispatch rescues the chunk
+    against the covering cache, output equals the exact path."""
+    tree, ref, qry = data
+    ooc = OutOfCoreEngine(tree, ref, Model.from_string(MODEL),
+                          Options(blo_block=64, memsave=True,
+                                  memsave_budget_gb=100.0, fused_topk=2))
+    assert ooc._full_cover
+    pqs = ooc.place_chunk(qry)
+    assert ooc._escalations > 0
+    dev = PlacementEngine(tree, ref, Model.from_string(MODEL),
+                          Options(blo_block=64))
+    exact = dev._place_chunk_exact(dev.encode_msa(qry), 0)
+    assert len(pqs) == len(exact)
+    for a, b in zip(pqs, exact):
+        np.testing.assert_allclose(np.sort(a.logls), np.sort(b.logls),
+                                   atol=1e-6)
